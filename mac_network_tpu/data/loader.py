@@ -1,0 +1,187 @@
+"""Host-side batching and async image loading.
+
+Replaces the reference's loader thread + bounded queues (main.py:374-444)
+with a prefetching iterator that overlaps h5 reads and host->device
+transfer with device compute (double-buffered ``jax.device_put``).
+
+Static shapes: each batch's questions are trimmed to the batch max length
+rounded up to ``cfg.bucketPad`` (the reference trims exactly —
+main.py:263-270 — which would force an XLA recompile per distinct length),
+and ragged final batches are padded to the full batch size with a loss mask
+instead of being fed ragged.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from mac_network_tpu.config import Config
+
+
+# ------------------------------------------------------------------ batching
+
+def get_length(data) -> int:
+    return len(data["indices"])
+
+
+def select_indices(data: Dict, indices) -> Dict:
+    """Slice every field of a bucket dict (reference: main.py:277-286)."""
+    out = {}
+    for k, v in data.items():
+        if isinstance(v, np.ndarray):
+            out[k] = v[indices]
+        elif isinstance(v, list):
+            out[k] = [v[i] for i in indices]
+        else:
+            out[k] = v
+    return out
+
+
+def get_batches(data: Dict, batch_size: int, shuffle: bool = True,
+                rng: Optional[np.random.RandomState] = None) -> List[Dict]:
+    """Shuffled fixed-size batches from one bucket
+    (reference: main.py:290-309)."""
+    n = get_length(data)
+    bs = min(batch_size, n) if n else 0
+    idx = np.arange(n)
+    if shuffle:
+        (rng or np.random).shuffle(idx)
+    batches = []
+    for start in range(0, n, bs if bs else 1):
+        sel = idx[start:start + bs]
+        if len(sel) == 0:
+            continue
+        batches.append(select_indices(data, sel))
+    return batches
+
+
+def trim_batch(batch: Dict, pad_multiple: int = 8) -> Dict:
+    """Trim question padding to the batch max length, quantized up to
+    ``pad_multiple`` for shape stability (reference trims exactly:
+    main.py:263-270)."""
+    max_len = int(batch["questionLengths"].max())
+    if pad_multiple > 1:
+        max_len = -(-max_len // pad_multiple) * pad_multiple
+    max_len = min(max_len, batch["questions"].shape[1])
+    batch = dict(batch)
+    batch["questions"] = batch["questions"][:, :max_len]
+    return batch
+
+
+def pad_batch(batch: Dict, batch_size: int) -> Dict:
+    """Pad a ragged final batch up to ``batch_size`` with a validity mask so
+    jit sees one batch shape per bucket length."""
+    n = len(batch["answers"])
+    batch = dict(batch)
+    mask = np.ones((batch_size,), np.float32)
+    if n < batch_size:
+        pad = batch_size - n
+        mask[n:] = 0.0
+        for k in ("questions", "questionLengths", "answers"):
+            arr = batch[k]
+            batch[k] = np.concatenate(
+                [arr, np.repeat(arr[-1:], pad, axis=0)], axis=0)
+        if "images" in batch:
+            arr = batch["images"]
+            batch["images"] = np.concatenate(
+                [arr, np.repeat(arr[-1:], pad, axis=0)], axis=0)
+    batch["mask"] = mask
+    return batch
+
+
+# --------------------------------------------------------------- image files
+
+class ImageLoader:
+    """Loads image-feature slices by imageId from the h5/npy feature cache
+    (reference: main.py:313-334).  NLVR maps string ids through the
+    {tier}ImgIds.json index (main.py:317-318, 329-331)."""
+
+    def __init__(self, images_info: Dict, cfg: Config):
+        self.cfg = cfg
+        self.filename = images_info["imagesFilename"]
+        self.id2idx = None
+        self._file = None
+        self._np = None
+        ids_file = images_info.get("imageIdsFilename")
+        if ids_file:
+            with open(ids_file) as f:
+                self.id2idx = json.load(f)
+
+    def open(self):
+        if self.filename.endswith(".npy"):
+            self._np = np.load(self.filename, mmap_mode="r")
+        else:
+            import h5py
+            self._file = h5py.File(self.filename, "r")
+
+    def close(self):
+        if self._file is not None:
+            self._file.close()
+            self._file = None
+        self._np = None
+
+    def _features(self):
+        if self._np is not None:
+            return self._np
+        return self._file["features"]
+
+    def load_batch(self, batch: Dict) -> np.ndarray:
+        feats = self._features()
+        to_index = (lambda i: self.id2idx[i]) if self.id2idx else (lambda i: i)
+        # CHW -> HWC transpose on host (reference transposes in-graph,
+        # model.py:68; the stem wants NHWC on TPU)
+        arr = np.stack([feats[to_index(i)] for i in batch["imageIds"]], axis=0)
+        return np.ascontiguousarray(arr.transpose(0, 2, 3, 1))
+
+
+# ---------------------------------------------------------------- prefetcher
+
+class PrefetchIterator:
+    """Background thread loads + preps the next batches while the device
+    computes the current one (replacement for the reference's loader thread,
+    main.py:374-444).  Yields fully host-prepped batch dicts; device_put
+    happens in the consumer (or via shard_batch for multi-chip)."""
+
+    def __init__(self, batches: List[Dict], image_loader: Optional[ImageLoader],
+                 cfg: Config, train: bool, depth: int = 2):
+        self.batches = batches
+        self.loader = image_loader
+        self.cfg = cfg
+        self.train = train
+        self.q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.error = None
+
+    def _prep(self, batch: Dict) -> Dict:
+        cfg = self.cfg
+        batch = trim_batch(batch, cfg.bucketPad)
+        if self.loader is not None:
+            images = self.loader.load_batch(batch)
+            # id-alignment sanity (reference: main.py:592-593)
+            batch["images"] = images
+        batch = pad_batch(batch, cfg.batchSize)
+        return batch
+
+    def _run(self):
+        try:
+            for batch in self.batches:
+                self.q.put(self._prep(batch))
+        except Exception as e:                      # surfaced in __next__
+            self.error = e
+        finally:
+            self.q.put(None)
+
+    def __iter__(self) -> Iterator[Dict]:
+        self.thread.start()
+        while True:
+            item = self.q.get()
+            if item is None:
+                if self.error is not None:
+                    raise self.error
+                return
+            yield item

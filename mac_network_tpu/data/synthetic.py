@@ -43,7 +43,9 @@ def make_clevr_questions(n: int, seed: int = 0):
             fn = "exist"
         else:
             text = f"How many {color} {size} objects are there?"
-            answer = str((len(color) + len(size) + i) % 4)
+            # answer is a pure function of the question text so the mapping
+            # is learnable (overfit tests rely on this)
+            answer = str((len(color) + len(size)) % 4)
             fn = "count"
         program = [
             {"function": "scene", "value_inputs": [], "inputs": []},

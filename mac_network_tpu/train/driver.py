@@ -1,0 +1,291 @@
+"""Training / evaluation orchestration (reference: main.py:546-797).
+
+Per epoch: bucketed shuffled batches -> prefetching loader -> jitted train
+step -> stats/console -> periodic mid-epoch checkpoint.  After each training
+epoch: checkpoint, evaluate with EMA params (the reference swaps EMA
+checkpoints on disk, main.py:716-729; here EMA is part of the TrainState),
+CSV record, LR-plateau decay, early stopping.  finalTest evaluates all
+tiers with EMA (or raw) weights.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import time
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from mac_network_tpu.config import Config
+from mac_network_tpu.data.loader import (
+    ImageLoader, PrefetchIterator, get_batches, get_length, pad_batch,
+    trim_batch)
+from mac_network_tpu.train import logging as maclog
+from mac_network_tpu.train.checkpoint import save_checkpoint
+
+
+def build_preds_list(answer_dict, batch: Dict, predictions,
+                     attentions=None) -> List[Dict]:
+    """Decode predictions back into instance dicts, optionally nesting
+    per-step attention maps (reference: model.py:693-710)."""
+    preds = []
+    n_valid = int(batch.get("mask", np.ones(len(batch["answers"]))).sum())
+    for i, instance in enumerate(batch["instances"][:n_valid]):
+        inst = dict(instance)
+        if predictions is not None:
+            inst["prediction"] = answer_dict.decodeId(int(predictions[i]))
+        if attentions is not None:
+            inst["attentions"] = {
+                k: [np.asarray(step[i]).tolist() for step in att]
+                for k, att in attentions.items()}
+        preds.append(inst)
+    return preds
+
+
+def improve_enough(curr: Dict, prior: Dict, lr: float) -> bool:
+    """LR-plateau heuristic: thresholds on the train-loss improvement at
+    successively lower loss/lr regimes (reference: main.py:239-255)."""
+    prev_res = prior["prev"]["res"]
+    if prev_res is None:
+        return True
+    prev_loss = prev_res["train"]["loss"]
+    curr_loss = curr["res"]["train"]["loss"]
+    diff = prev_loss - curr_loss
+    plateaued = ((diff < 0.015 and prev_loss < 0.5 and lr > 0.00002) or
+                 (diff < 0.008 and prev_loss < 0.15 and lr > 0.00001) or
+                 (diff < 0.003 and prev_loss < 0.10 and lr > 0.000005))
+    return not plateaued
+
+
+def better(curr_res: Dict, best_res: Dict) -> bool:
+    return curr_res["val"]["acc"] > best_res["val"]["acc"]
+
+
+def choose_training_data(cfg: Config, data: Dict):
+    """Main vs extra dataset selection (reference: main.py:205-218)."""
+    training = data["main"]["train"]
+    alter = None
+    if cfg.extra:
+        if cfg.trainExtra:
+            training = (data["extra"]["val"] if cfg.extraVal
+                        else data["extra"]["train"])
+        if cfg.alterExtra:
+            alter = data["extra"]["train"]
+    return training, alter
+
+
+def alternate_data(cfg: Config, batches: List, alter_data: Dict,
+                   data_len: int):
+    """Insert extra-dataset batches every alterNum main batches
+    (reference: main.py:343-372)."""
+    alter = alter_data["data"][0]          # extra data is not bucketed
+    needed = math.ceil(len(batches) / cfg.alterNum)
+    per_data = max(1, math.ceil(get_length(alter) / cfg.batchSize))
+    repetitions = math.ceil(needed / per_data)
+    alter_batches = []
+    for _ in range(repetitions):
+        rep = get_batches(alter, cfg.batchSize)
+        random.shuffle(rep)
+        alter_batches += rep
+    curr = len(batches) - 1
+    for ab in alter_batches:
+        if curr < 0:
+            break
+        batches.insert(curr, ab)
+        data_len += get_length(ab)
+        curr -= cfg.alterNum
+    return batches, data_len
+
+
+class Runner:
+    """Owns the jitted steps and device placement for the epoch loop."""
+
+    def __init__(self, cfg: Config, model, train_step, eval_step,
+                 eval_step_att, answer_dict, device_put=None):
+        self.cfg = cfg
+        self.model = model
+        self.train_step = train_step
+        self.eval_step = eval_step
+        self.eval_step_att = eval_step_att
+        self.answer_dict = answer_dict
+        self.device_put = device_put or (lambda b: b)
+
+    # --------------------------------------------------------------- epoch
+    def run_epoch(self, state, tier_data: Dict, train: bool, epoch: int,
+                  rng=None, saver_hook=None, alter_data=None,
+                  get_att: bool = False, get_preds: bool = True):
+        """(reference: runEpoch, main.py:546-633)"""
+        cfg = self.cfg
+        start_time0 = time.time()
+        stats = maclog.init_stats()
+        preds: List[Dict] = []
+
+        loader = ImageLoader(tier_data["images"], cfg)
+        loader.open()
+        try:
+            buckets = tier_data["data"]
+            data_len = sum(get_length(b) for b in buckets)
+            batches: List[Dict] = []
+            for bucket in buckets:
+                batches += get_batches(bucket, cfg.batchSize)
+            random.shuffle(batches)
+            if train and alter_data is not None:
+                batches, data_len = alternate_data(cfg, batches, alter_data,
+                                                   data_len)
+
+            prefetch = PrefetchIterator(batches, loader, cfg, train,
+                                        depth=cfg.prefetchDepth)
+            for batch_num, batch in enumerate(prefetch):
+                t0 = time.time()
+                n_valid = int(batch["mask"].sum())
+                device_batch = self.device_put({
+                    k: batch[k] for k in
+                    ("questions", "questionLengths", "images", "answers",
+                     "mask")})
+                t1 = time.time()
+                if train:
+                    state, metrics = self.train_step(
+                        state, device_batch, float(cfg.lr), rng)
+                    res = {
+                        "loss": float(metrics["loss"]),
+                        "correctNum": float(metrics["correct"]),
+                        "gradNorm": float(metrics["gradNorm"]),
+                        "preds": np.asarray(metrics["preds"]),
+                    }
+                    atts = None
+                else:
+                    params = state.eval_params(cfg.useEMA)
+                    step_fn = self.eval_step_att if get_att else self.eval_step
+                    out = step_fn(params, state.batch_stats, device_batch)
+                    res = {
+                        "loss": float(out["loss"]),
+                        "correctNum": float(out["correct"]),
+                        "gradNorm": -1.0,
+                        "preds": np.asarray(out["preds"]),
+                    }
+                    atts = ({k: np.asarray(v) for k, v in
+                             out["attentions"].items()} if get_att else None)
+                t2 = time.time()
+                res["acc"] = res["correctNum"] / max(n_valid, 1)
+                res["readTime"] = t1 - t0
+                res["trainTime"] = t2 - t1
+
+                stats = maclog.update_stats(stats, res, n_valid)
+                if get_preds:
+                    preds += build_preds_list(self.answer_dict, batch,
+                                              res["preds"], atts)
+
+                print(maclog.stats_line(cfg, stats, res, epoch, batch_num,
+                                        data_len, t0), end="", flush=True)
+
+                if train and saver_hook is not None and batch_num > 0 \
+                        and batch_num % cfg.saveEvery == 0:
+                    print("\nsaving weights (mid-epoch)")
+                    saver_hook(state, epoch)
+            print("")
+        finally:
+            loader.close()
+
+        return state, {"loss": stats["loss"], "acc": stats["acc"],
+                       "preds": preds}
+
+    # ---------------------------------------------------------- evaluation
+    def run_evaluation(self, state, data: Optional[Dict], epoch: int,
+                       eval_train: bool = True, eval_test: bool = False,
+                       get_att: Optional[bool] = None):
+        """(reference: runEvaluation, main.py:222-236)"""
+        cfg = self.cfg
+        if get_att is None:
+            get_att = cfg.getAtt
+        res = {"evalTrain": None, "val": None, "test": None}
+        if data is None:
+            return res
+        if eval_train and cfg.evalTrain and data.get("evalTrain"):
+            _, res["evalTrain"] = self.run_epoch(
+                state, data["evalTrain"], train=False, epoch=epoch,
+                get_att=get_att)
+        _, res["val"] = self.run_epoch(state, data["val"], train=False,
+                                       epoch=epoch, get_att=get_att)
+        if (eval_test or cfg.test) and data.get("test"):
+            _, res["test"] = self.run_epoch(state, data["test"], train=False,
+                                            epoch=epoch, get_att=get_att)
+        return res
+
+    # ------------------------------------------------------------ training
+    def train(self, state, data: Dict, preprocessor, rng,
+              restore_epoch: int = 0):
+        """Full training orchestration (reference: main.py:693-775)."""
+        cfg = self.cfg
+        start0 = time.time()
+        best_epoch = restore_epoch
+        best_res = None
+        prev_res = None
+        epoch = restore_epoch
+
+        def saver_hook(st, ep):
+            save_checkpoint(cfg, st, ep, extra={"lr": cfg.lr, "epoch": ep})
+
+        for epoch in range(restore_epoch + 1, cfg.epochs + 1):
+            print(maclog.bcolored(f"Training epoch {epoch}...", "green"))
+            start = time.time()
+
+            training_data, alter_data = choose_training_data(cfg, data)
+            epoch_rng = jax.random.fold_in(rng, epoch)
+            state, train_res = self.run_epoch(
+                state, training_data, train=True, epoch=epoch, rng=epoch_rng,
+                saver_hook=saver_hook, alter_data=alter_data,
+                get_preds=bool(cfg.analysisType))
+
+            saver_hook(state, epoch)
+
+            # evaluation reads EMA params directly (reference restores the
+            # EMA checkpoint then swaps back, main.py:716-729)
+            eval_res = self.run_evaluation(state, data["main"], epoch)
+            extra_eval_res = self.run_evaluation(
+                state, data.get("extra"), epoch,
+                eval_train=not cfg.extraVal)
+
+            epoch_time = time.time() - start
+            print("took {:.2f} seconds".format(epoch_time))
+            maclog.print_dataset_results(cfg, train_res, eval_res,
+                                         extra_eval_res)
+
+            if cfg.getPreds:
+                write_preds(preprocessor, eval_res, extra_eval_res)
+
+            maclog.log_record(cfg, epoch, epoch_time, cfg.lr, train_res,
+                              eval_res, extra_eval_res)
+
+            curr_res = {"train": train_res, "val": eval_res["val"]}
+            curr = {"res": curr_res, "epoch": epoch}
+            if best_res is None or better(curr_res, best_res):
+                best_res = curr_res
+                best_epoch = epoch
+            prior = {"best": {"res": best_res, "epoch": best_epoch},
+                     "prev": {"res": prev_res, "epoch": epoch - 1}}
+
+            if cfg.lrReduce and not improve_enough(curr, prior, cfg.lr):
+                cfg.lr *= cfg.lrDecayRate
+                print(maclog.bcolored(f"Reducing LR to {cfg.lr}", "red"))
+
+            if cfg.earlyStopping > 0 and epoch - best_epoch > cfg.earlyStopping:
+                break
+            prev_res = curr_res
+
+        print("Training took {:.2f} seconds ({} epochs)".format(
+            time.time() - start0, epoch - restore_epoch))
+        return state, epoch
+
+
+def write_preds(preprocessor, eval_res, extra_eval_res) -> None:
+    """(reference: main.py:143-149)"""
+    preprocessor.writePreds(eval_res.get("evalTrain"), "evalTrain")
+    preprocessor.writePreds(eval_res.get("val"), "val")
+    preprocessor.writePreds(eval_res.get("test"), "test")
+    if extra_eval_res:
+        preprocessor.writePreds(extra_eval_res.get("evalTrain"),
+                                "evalTrain", "H")
+        preprocessor.writePreds(extra_eval_res.get("val"), "val", "H")
+        preprocessor.writePreds(extra_eval_res.get("test"), "test", "H")

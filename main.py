@@ -1,0 +1,117 @@
+"""Training / evaluation CLI (reference: main.py:651-802).
+
+Usage mirrors the reference:
+    python main.py --train --expName exp @configs/args.txt
+    python main.py --finalTest --restore --expName exp @configs/args.txt
+
+Pipeline: parse flags -> dataset config -> preprocess -> build model + state
+-> (restore) -> train epochs with EMA evaluation, CSV logging, LR-plateau
+decay, early stopping -> final test -> predictions/attention export.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mac_network_tpu.config import Config, load_dataset_config, parse_args
+from mac_network_tpu.data import Preprocesser
+from mac_network_tpu.models import MACNetwork
+from mac_network_tpu.parallel import make_mesh, shard_batch, shard_params
+from mac_network_tpu.train import (
+    create_train_state, make_eval_step, make_optimizer, make_train_step)
+from mac_network_tpu.train import logging as maclog
+from mac_network_tpu.train.checkpoint import restore_checkpoint
+from mac_network_tpu.train.driver import Runner, write_preds
+
+
+def build_state_and_runner(cfg: Config, embeddings, answer_dict):
+    """Construct model, jitted steps, device mesh and initial TrainState."""
+    # --gpusNum N maps onto the data-parallel mesh axis (the reference's
+    # multi-GPU towers, model.py:776-824, with working gradient reduction)
+    if cfg.gpusNum > 1 and cfg.meshData == 0:
+        cfg.meshData = min(cfg.gpusNum, len(jax.devices()))
+
+    model = MACNetwork(cfg, embeddings)
+    tx = make_optimizer(cfg)
+
+    H, W, C = cfg.imageDims
+    B = cfg.batchSize
+    dummy_q = jnp.zeros((B, 8), jnp.int32)
+    dummy_len = jnp.ones((B,), jnp.int32)
+    dummy_img = jnp.zeros((B, H, W, C), jnp.float32)
+    rngs = {"params": jax.random.key(cfg.seed),
+            "dropout": jax.random.key(cfg.seed + 1)}
+    variables = model.init(rngs, dummy_q, dummy_len, dummy_img, train=False)
+
+    mesh = make_mesh(cfg)
+    variables = {"params": shard_params(variables["params"], mesh),
+                 **{k: v for k, v in variables.items() if k != "params"}}
+    state = create_train_state(cfg, variables, tx)
+
+    train_step = make_train_step(model, cfg, tx)
+    eval_step = make_eval_step(model, cfg, with_attention=False)
+    eval_step_att = make_eval_step(model, cfg, with_attention=True)
+    runner = Runner(cfg, model, train_step, eval_step, eval_step_att,
+                    answer_dict, device_put=lambda b: shard_batch(b, mesh))
+    return model, state, runner
+
+
+def main(cfg: Config) -> None:
+    cfg.dumpJson()
+
+    print(maclog.bold("Preprocessing data..."))
+    start = time.time()
+    preprocessor = Preprocesser(cfg)
+    data, embeddings, answer_dict = preprocessor.preprocessData()
+    print("took {:.2f} seconds".format(time.time() - start))
+
+    print(maclog.bold("Building model..."))
+    start = time.time()
+    model, state, runner = build_state_and_runner(cfg, embeddings, answer_dict)
+    print("took {:.2f} seconds".format(time.time() - start))
+
+    # restore / initialize (reference: main.py:185-201)
+    epoch = 0
+    if cfg.restoreEpoch > 0 or cfg.restore:
+        if cfg.restoreEpoch == 0:
+            cfg.restoreEpoch, cfg.lr = maclog.last_logged_epoch(cfg)
+        print(maclog.bcolored(
+            "Restoring epoch {} and lr {}".format(cfg.restoreEpoch, cfg.lr),
+            "cyan"))
+        state = restore_checkpoint(cfg, state, cfg.restoreEpoch)
+        epoch = cfg.restoreEpoch
+    else:
+        maclog.log_init(cfg)
+
+    rng = jax.random.key(cfg.seed + 2)
+
+    if cfg.train:
+        state, epoch = runner.train(state, data, preprocessor, rng,
+                                    restore_epoch=epoch)
+
+    if cfg.finalTest:
+        print("Testing on epoch {}...".format(epoch))
+        start = time.time()
+        eval_res = runner.run_evaluation(state, data["main"], epoch,
+                                         eval_test=True)
+        extra_eval_res = runner.run_evaluation(
+            state, data.get("extra"), epoch,
+            eval_train=not cfg.extraVal, eval_test=True)
+        print("took {:.2f} seconds".format(time.time() - start))
+        maclog.print_dataset_results(cfg, None, eval_res, extra_eval_res)
+        print("Writing predictions...")
+        write_preds(preprocessor, eval_res, extra_eval_res)
+
+    print(maclog.bcolored("Done!", "white"))
+
+
+if __name__ == "__main__":
+    cfg = parse_args()
+    load_dataset_config(cfg)
+    main(cfg)

@@ -1,0 +1,121 @@
+"""Sharding tests on the simulated 8-device CPU mesh (SURVEY.md §4):
+data-parallel training must be numerically equivalent to single-device
+training, and the 2-D (data x model) mesh must compile and step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mac_network_tpu.config import Config
+from mac_network_tpu.models import MACNetwork
+from mac_network_tpu.parallel import make_mesh, shard_batch, shard_params
+from mac_network_tpu.train import (
+    create_train_state, make_optimizer, make_train_step)
+
+
+def tiny_cfg(**overrides):
+    cfg = Config()
+    cfg.wrdEmbDim = 8
+    cfg.encDim = cfg.ctrlDim = cfg.memDim = cfg.attDim = cfg.stemDim = 16
+    cfg.netLength = 2
+    cfg.outClassifierDims = [16]
+    cfg.questionWordsNum = 20
+    cfg.answerWordsNum = 8
+    cfg.imageDims = [4, 4, 8]
+    cfg.batchSize = 16
+    cfg.encBi = True
+    cfg.outQuestion = True
+    cfg.controlContextual = True
+    cfg.readProjInputs = True
+    cfg.readMemProj = True
+    cfg.readCtrl = True
+    cfg.writeMemProj = True
+    cfg.clipGradients = True
+    cfg.useEMA = True
+    # deterministic: no dropout
+    for k in ("encInputDropout", "stemDropout", "qDropout", "memoryDropout",
+              "readDropout", "writeDropout", "outputDropout"):
+        setattr(cfg, k, 1.0)
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def make_batch(cfg, seed=0):
+    rng = np.random.RandomState(seed)
+    B = cfg.batchSize
+    H, W, C = cfg.imageDims
+    return {
+        "questions": rng.randint(1, cfg.questionWordsNum,
+                                 (B, 6)).astype(np.int32),
+        "questionLengths": rng.randint(2, 7, (B,)).astype(np.int32),
+        "images": rng.randn(B, H, W, C).astype(np.float32),
+        "answers": rng.randint(0, cfg.answerWordsNum, (B,)).astype(np.int32),
+        "mask": np.ones((B,), np.float32),
+    }
+
+
+def build(cfg, mesh=None):
+    emb = {"q": np.random.RandomState(1).randn(
+        cfg.questionWordsNum - 1, cfg.wrdEmbDim).astype(np.float32),
+        "a": None}
+    model = MACNetwork(cfg, emb)
+    batch = make_batch(cfg)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jnp.asarray(batch["questions"]), jnp.asarray(batch["questionLengths"]),
+        jnp.asarray(batch["images"]), train=False)
+    if mesh is not None:
+        variables = {"params": shard_params(variables["params"], mesh)}
+    tx = make_optimizer(cfg)
+    state = create_train_state(cfg, variables, tx)
+    step = make_train_step(model, cfg, tx)
+    return model, state, step, batch
+
+
+def run_steps(cfg, mesh, n=3):
+    model, state, step, batch = build(cfg, mesh)
+    if mesh is not None:
+        batch = shard_batch(batch, mesh)
+    losses = []
+    for i in range(n):
+        state, metrics = step(state, batch, cfg.lr, jax.random.key(7))
+        losses.append(float(metrics["loss"]))
+    return np.array(losses), state
+
+
+def test_dp_matches_single_device():
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    cfg = tiny_cfg()
+    losses_single, _ = run_steps(cfg, mesh=None)
+
+    cfg_dp = tiny_cfg(meshData=8)
+    mesh = make_mesh(cfg_dp)
+    assert dict(mesh.shape) == {"data": 8, "model": 1}
+    losses_dp, state = run_steps(cfg_dp, mesh)
+
+    np.testing.assert_allclose(losses_single, losses_dp, rtol=1e-4)
+    assert losses_dp[-1] < losses_dp[0]      # actually training
+
+
+def test_2d_mesh_with_model_axis():
+    # vocab 21 -> 20 embedding rows (PAD dropped), divisible by model=2
+    cfg = tiny_cfg(meshData=4, meshModel=2, questionWordsNum=21)
+    mesh = make_mesh(cfg)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    losses, state = run_steps(cfg, mesh)
+    assert np.isfinite(losses).all()
+    # the embedding table really is sharded over 'model'
+    emb = state.params["qEmbeddings"]["emb"]
+    specs = emb.sharding.spec
+    assert "model" in str(specs)
+
+
+def test_uneven_vocab_falls_back_to_replication():
+    # vocab 20 -> 19 embedding rows, NOT divisible by model=4 -> replicate
+    cfg = tiny_cfg(meshData=2, meshModel=4, questionWordsNum=20)
+    mesh = make_mesh(cfg)
+    losses, _ = run_steps(cfg, mesh)
+    assert np.isfinite(losses).all()
