@@ -69,6 +69,44 @@ def make_features(num_images: int, dims=(1024, 14, 14), seed: int = 0):
     return rng.randn(num_images, *dims).astype(np.float32)
 
 
+def write_synthetic_nlvr(root: str, n_train: int = 8, n_val: int = 4,
+                         n_test: int = 4, feature_type: str = "norm_8x4",
+                         seed: int = 0):
+    """Materialize a synthetic NLVR tree under ``root``/nlvr:
+    {tier}.json (jsonl), {tier}_{featureType}.h5 and {tier}ImgIds.json
+    (reference layout: preprocess.py:275-315, main.py:317-331).
+
+    feature_type 'norm_WxH' yields [H, W, 3] images (config.py:461-466).
+    """
+    import h5py
+    rng = random.Random(seed)
+    nrng = np.random.RandomState(seed)
+    data_dir = os.path.join(root, "nlvr")
+    os.makedirs(data_dir, exist_ok=True)
+    w, h = (int(v) for v in feature_type.split("_")[-1].split("x"))
+    counts = {"train": n_train, "val": n_val, "test": n_test}
+    for tier, n in counts.items():
+        ids = {}
+        feats = []
+        with open(os.path.join(data_dir, f"{tier}.json"), "w") as f:
+            for i in range(n):
+                count = rng.randrange(1, 4)
+                sentence = f"There are {count} black boxes in the image."
+                label = "true" if count % 2 else "false"
+                ident = f"{tier}-{i}"
+                f.write(json.dumps({"sentence": sentence, "label": label,
+                                    "identifier": ident}) + "\n")
+                for k in range(6):
+                    ids[f"{ident}-{k}"] = len(feats)
+                    feats.append(nrng.randn(3, h, w).astype(np.float32))
+        with h5py.File(os.path.join(data_dir,
+                                    f"{tier}_{feature_type}.h5"), "w") as hf:
+            hf.create_dataset("features", data=np.stack(feats))
+        with open(os.path.join(data_dir, f"{tier}ImgIds.json"), "w") as f:
+            json.dump(ids, f)
+    return root
+
+
 def write_synthetic_dataset(root: str, n_train: int = 64, n_val: int = 32,
                             n_test: int = 32, dims=(1024, 14, 14),
                             seed: int = 0, h5: Optional[bool] = None):

@@ -122,6 +122,13 @@ class Runner:
         stats = maclog.init_stats()
         preds: List[Dict] = []
 
+        # optional device trace of the first training epoch
+        # (reference has wall-clock timing only — SURVEY.md §5 tracing gap)
+        profiling = cfg.profile and train and epoch == 1
+        if profiling:
+            import os
+            jax.profiler.start_trace(os.path.join(cfg.logDir(), "profile"))
+
         loader = ImageLoader(tier_data["images"], cfg)
         loader.open()
         try:
@@ -187,6 +194,8 @@ class Runner:
             print("")
         finally:
             loader.close()
+            if profiling:
+                jax.profiler.stop_trace()
 
         return state, {"loss": stats["loss"], "acc": stats["acc"],
                        "preds": preds}

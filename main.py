@@ -63,6 +63,13 @@ def build_state_and_runner(cfg: Config, embeddings, answer_dict):
 
 
 def main(cfg: Config) -> None:
+    # one seed governs data shuffling, param init and dropout streams —
+    # resume-deterministic (the reference leaves data-order RNG unseeded;
+    # SURVEY.md §5 checkpoint/resume gap)
+    import random as _random
+    _random.seed(cfg.seed)
+    np.random.seed(cfg.seed)
+
     cfg.dumpJson()
 
     print(maclog.bold("Preprocessing data..."))
