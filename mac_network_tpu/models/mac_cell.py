@@ -358,3 +358,17 @@ class MACCell(nn.Module):
         atts = {"question": q_att, "kb": kb_att}
         atts.update(w_atts)
         return (new_control, new_memory, new_cont_control), info, atts
+
+    def scan_step(self, carry, control_input, in_words, out_words, lengths,
+                  knowledge_base, kb_proj, mem_dp_mask, vec_questions,
+                  train):
+        """(carry, x) -> (carry, ys) adapter for ``nn.scan`` over the
+        reasoning steps (useScan path; requires shared cells and no
+        write self-attention — the growing history forces unrolling,
+        SURVEY.md §7 hard parts)."""
+        state, info, atts = self(
+            carry, control_input, in_words, out_words, lengths,
+            knowledge_base, kb_proj=kb_proj, mem_dp_mask=mem_dp_mask,
+            prev_controls=None, prev_memories=None,
+            vec_questions=vec_questions, train=train)
+        return state, atts

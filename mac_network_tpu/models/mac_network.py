@@ -197,9 +197,22 @@ class MACRecurrence(nn.Module):
 
     def setup(self):
         cfg = self.cfg
+        self._use_scan = (cfg.useScan and not cfg.unsharedCells
+                          and not cfg.writeSelfAtt)
         if cfg.unsharedCells:
             self.cells = [MACCell(cfg, name=f"cell{i}")
                           for i in range(cfg.netLength)]
+        elif self._use_scan:
+            scanned = nn.scan(
+                MACCell,
+                variable_broadcast="params",
+                split_rngs={"params": False, "dropout": True},
+                in_axes=(0,) + (nn.broadcast,) * 8,
+                out_axes=0,
+                methods=["scan_step"])
+            # same attribute name -> same "cell" parameter subtree as the
+            # unrolled path, so useScan toggles without checkpoint breakage
+            self.cell = scanned(cfg, name="cell")
         else:
             self.cell = MACCell(cfg, name="cell")
         # per-step question input projections (reference: mac_cell.py:427-448)
@@ -295,13 +308,23 @@ class MACRecurrence(nn.Module):
                 and (not train or cfg.readDropout >= 1.0)):
             kb_proj = self.cell.project_kb(knowledge_base, train)
 
+        state = (control, memory, cont_control)
+
+        # ---- scanned recurrence: one compiled step body instead of T
+        # copies (useScan; needs shared cells and no self-attention history)
+        if self._use_scan:
+            stacked_ci = jnp.stack(control_inputs, axis=0)      # [T, B, d]
+            state, atts = self.cell.scan_step(
+                state, stacked_ci, in_words, out_words, lengths,
+                knowledge_base, kb_proj, mem_dp_mask, vec_questions, train)
+            return state[0], state[1], atts
+
         # ---- unrolled recurrence (reference: model.py:447-458)
         controls = [control]
         memories = [memory]
         infos = []
         att_hist: Dict[str, list] = {"question": [], "kb": [], "self": [],
                                      "gate": []}
-        state = (control, memory, cont_control)
         for i in range(T):
             cell = (self.cells[i] if cfg.unsharedCells else self.cell)
             prev_controls = jnp.stack(controls, axis=1) \

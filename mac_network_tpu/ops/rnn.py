@@ -190,12 +190,41 @@ class MiLSTMCell(nn.Module, _MiMixin):
         return (z, z)
 
 
+class ProjLSTMCell(nn.Module):
+    """LSTM with a learned projection of the hidden state (TF LSTMCell
+    num_proj; reference createCell 'ProjLSTM' branch, ops.py:755-760)."""
+    features: int
+    proj_dim: Optional[int] = None
+    forget_bias: float = 1.0
+    act: Optional[str] = None
+    cfg: Optional[Config] = None
+
+    @nn.compact
+    def __call__(self, carry, x):
+        c, h = carry
+        act = _cell_act(self.act, self.cfg)
+        proj = self.proj_dim or self.features
+        z = _dense(self, "kernel", jnp.concatenate([x, h], -1),
+                   4 * self.features, bias_init=0.0)
+        i, j, f, o = jnp.split(z, 4, axis=-1)
+        new_c = (c * jax.nn.sigmoid(f + self.forget_bias)
+                 + jax.nn.sigmoid(i) * act(j))
+        new_h = _dense(self, "proj", act(new_c) * jax.nn.sigmoid(o), proj)
+        return (new_c, new_h), new_h
+
+    def initial_carry(self, batch, dtype):
+        proj = self.proj_dim or self.features
+        return (jnp.zeros((batch, self.features), dtype),
+                jnp.zeros((batch, proj), dtype))
+
+
 CELL_TYPES = {
     "RNN": BasicRNNCell,
     "GRU": GRUCell,
     "LSTM": LSTMCell,
     "MiGRU": MiGRUCell,
     "MiLSTM": MiLSTMCell,
+    "ProjLSTM": ProjLSTMCell,
 }
 
 

@@ -115,7 +115,8 @@ class Runner:
     # --------------------------------------------------------------- epoch
     def run_epoch(self, state, tier_data: Dict, train: bool, epoch: int,
                   rng=None, saver_hook=None, alter_data=None,
-                  get_att: bool = False, get_preds: bool = True):
+                  get_att: bool = False, get_preds: bool = True,
+                  calle=None):
         """(reference: runEpoch, main.py:546-633)"""
         cfg = self.cfg
         start_time0 = time.time()
@@ -144,53 +145,69 @@ class Runner:
 
             prefetch = PrefetchIterator(batches, loader, cfg, train,
                                         depth=cfg.prefetchDepth)
+
+            # One-batch-deep software pipeline: the device executes batch N
+            # while the host converts batch N-1's metrics — the D2H fetch of
+            # the previous result overlaps the current step (the reference
+            # blocks in sess.run every batch, model.py:746).
+            pending = None      # (batch_num, batch, device_out, atts, times)
+
+            def drain(pending):
+                nonlocal stats, preds
+                batch_num, batch, out, d_atts, (t0, t1, t2) = pending
+                n_valid = int(batch["mask"].sum())
+                res = {
+                    "loss": float(out["loss"]),
+                    "correctNum": float(out["correct"]),
+                    "gradNorm": float(out["gradNorm"]) if "gradNorm" in out
+                    else -1.0,
+                    "preds": np.asarray(out["preds"]),
+                }
+                atts = ({k: np.asarray(v) for k, v in d_atts.items()}
+                        if d_atts is not None else None)
+                res["acc"] = res["correctNum"] / max(n_valid, 1)
+                res["readTime"] = t1 - t0
+                res["trainTime"] = t2 - t1
+                stats = maclog.update_stats(stats, res, n_valid)
+                if get_preds:
+                    preds += build_preds_list(self.answer_dict, batch,
+                                              res["preds"], atts)
+                print(maclog.stats_line(cfg, stats, res, epoch, batch_num,
+                                        data_len, t0), end="", flush=True)
+
             for batch_num, batch in enumerate(prefetch):
                 t0 = time.time()
-                n_valid = int(batch["mask"].sum())
                 device_batch = self.device_put({
                     k: batch[k] for k in
                     ("questions", "questionLengths", "images", "answers",
                      "mask")})
                 t1 = time.time()
                 if train:
-                    state, metrics = self.train_step(
+                    state, out = self.train_step(
                         state, device_batch, float(cfg.lr), rng)
-                    res = {
-                        "loss": float(metrics["loss"]),
-                        "correctNum": float(metrics["correct"]),
-                        "gradNorm": float(metrics["gradNorm"]),
-                        "preds": np.asarray(metrics["preds"]),
-                    }
-                    atts = None
+                    d_atts = None
                 else:
                     params = state.eval_params(cfg.useEMA)
                     step_fn = self.eval_step_att if get_att else self.eval_step
                     out = step_fn(params, state.batch_stats, device_batch)
-                    res = {
-                        "loss": float(out["loss"]),
-                        "correctNum": float(out["correct"]),
-                        "gradNorm": -1.0,
-                        "preds": np.asarray(out["preds"]),
-                    }
-                    atts = ({k: np.asarray(v) for k, v in
-                             out["attentions"].items()} if get_att else None)
+                    d_atts = out.pop("attentions", None) if get_att else None
                 t2 = time.time()
-                res["acc"] = res["correctNum"] / max(n_valid, 1)
-                res["readTime"] = t1 - t0
-                res["trainTime"] = t2 - t1
 
-                stats = maclog.update_stats(stats, res, n_valid)
-                if get_preds:
-                    preds += build_preds_list(self.answer_dict, batch,
-                                              res["preds"], atts)
-
-                print(maclog.stats_line(cfg, stats, res, epoch, batch_num,
-                                        data_len, t0), end="", flush=True)
+                if pending is not None:
+                    drain(pending)
+                pending = (batch_num, batch, out, d_atts, (t0, t1, t2))
 
                 if train and saver_hook is not None and batch_num > 0 \
                         and batch_num % cfg.saveEvery == 0:
                     print("\nsaving weights (mid-epoch)")
                     saver_hook(state, epoch)
+
+                # custom periodic hook (reference: calleEvery, main.py:616-618)
+                if calle is not None and batch_num > 0 \
+                        and batch_num % cfg.calleEvery == 0:
+                    calle()
+            if pending is not None:
+                drain(pending)
             print("")
         finally:
             loader.close()

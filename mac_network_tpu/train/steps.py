@@ -126,6 +126,31 @@ def make_train_step(model, cfg: Config, tx):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def make_fused_eval_step(engine, cfg: Config):
+    """Eval step driving the fused Pallas serving engine (--usePallas;
+    see ops/pallas/mac_fused.py).  No attention outputs — the XLA path
+    serves getAtt."""
+
+    def eval_step(params, batch_stats, batch):
+        logits = engine({"params": params}, batch["questions"],
+                        batch["questionLengths"], batch["images"])
+        labels = batch["answers"]
+        losses = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        mask = batch.get("mask")
+        if mask is not None:
+            denom = jnp.maximum(jnp.sum(mask), 1.0)
+            loss = jnp.sum(losses * mask) / denom
+        else:
+            loss = jnp.mean(losses)
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        corrects = (preds == labels).astype(jnp.float32)
+        if mask is not None:
+            corrects = corrects * mask
+        return {"loss": loss, "correct": jnp.sum(corrects), "preds": preds}
+
+    return jax.jit(eval_step)
+
+
 def make_eval_step(model, cfg: Config, with_attention: bool = False):
     """Evaluation step; reads EMA params when enabled (the reference's
     checkpoint-swap semantics, main.py:716-729)."""

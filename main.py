@@ -55,7 +55,20 @@ def build_state_and_runner(cfg: Config, embeddings, answer_dict):
     state = create_train_state(cfg, variables, tx)
 
     train_step = make_train_step(model, cfg, tx)
-    eval_step = make_eval_step(model, cfg, with_attention=False)
+    if cfg.usePallas:
+        from mac_network_tpu.ops.pallas import (
+            FusedMACEngine, supports_fused_config)
+        from mac_network_tpu.train.steps import make_fused_eval_step
+        if supports_fused_config(cfg):
+            engine = FusedMACEngine(cfg, embeddings)
+            eval_step = make_fused_eval_step(engine, cfg)
+        else:
+            print(maclog.bcolored(
+                "--usePallas: config outside the fused-kernel envelope; "
+                "using the XLA path", "yellow"))
+            eval_step = make_eval_step(model, cfg, with_attention=False)
+    else:
+        eval_step = make_eval_step(model, cfg, with_attention=False)
     eval_step_att = make_eval_step(model, cfg, with_attention=True)
     runner = Runner(cfg, model, train_step, eval_step, eval_step_att,
                     answer_dict, device_put=lambda b: shard_batch(b, mesh))

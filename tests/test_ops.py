@@ -237,3 +237,51 @@ def test_grid_rnn(cfg):
     params = m.init(jax.random.key(0), x)
     y = m.apply(params, x)
     assert y.shape == (2, 4, 4, 8)
+
+
+def test_gumbel_softmax():
+    from mac_network_tpu.ops.stochastic import gumbel_softmax
+    logits = jnp.array([[2.0, 1.0, 0.0]] * 8)
+    soft = gumbel_softmax(jax.random.key(0), logits, 1.0, hard=False)
+    np.testing.assert_allclose(soft.sum(-1), 1.0, rtol=1e-5)
+    hard = gumbel_softmax(jax.random.key(0), logits, 1.0, hard=True)
+    assert set(np.unique(np.asarray(hard))) <= {0.0, 1.0}
+    np.testing.assert_allclose(hard.sum(-1), 1.0)
+
+
+def test_parametric_dropout():
+    from mac_network_tpu.ops.stochastic import ParametricDropout
+    m = ParametricDropout()
+    x = jnp.ones((100, 50))
+    params = m.init({"params": jax.random.key(0),
+                     "dropout": jax.random.key(1)}, x, train=True)
+    # eval: identity
+    np.testing.assert_array_equal(m.apply(params, x, train=False), x)
+    y = m.apply(params, x, train=True, rngs={"dropout": jax.random.key(2)})
+    # keep ~ sigmoid(2) ~ 0.88
+    kept = float((np.asarray(y) > 0).mean())
+    assert 0.8 < kept < 0.95
+
+
+def test_seq2seq_helpers():
+    from mac_network_tpu.ops.stochastic import seq2seq_loss, seq2seq_accuracy
+    B, L, V = 2, 4, 5
+    logits = jnp.full((B, L, V), -10.0).at[:, :, 1].set(10.0)
+    targets = jnp.ones((B, L), jnp.int32)
+    lengths = jnp.array([4, 2])
+    loss = seq2seq_loss(logits, targets, lengths)
+    assert float(loss) < 1e-3
+    preds = jnp.argmax(logits, -1).astype(jnp.int32)
+    acc1, acc2 = seq2seq_accuracy(preds, targets, lengths)
+    assert float(acc1) == 1.0 and float(acc2) == 1.0
+
+
+def test_proj_lstm_cell(cfg):
+    from mac_network_tpu.ops.rnn import ProjLSTMCell
+    B, D, H, P = 2, 3, 8, 4
+    cell = ProjLSTMCell(features=H, proj_dim=P)
+    carry = cell.initial_carry(B, jnp.float32)
+    x = jnp.ones((B, D))
+    params = cell.init(jax.random.key(0), carry, x)
+    (c, h), out = cell.apply(params, carry, x)
+    assert c.shape == (B, H) and h.shape == (B, P) and out.shape == (B, P)

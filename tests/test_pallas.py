@@ -1,0 +1,103 @@
+"""Numerics parity of the fused Pallas MAC kernel against the XLA path
+(SURVEY.md §7.9: "numerics-parity tests vs the jit reference
+implementation").  Runs in interpreter mode on the CPU test platform; the
+same kernel compiles on TPU (exercised by bench.py --pallas)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mac_network_tpu.config import Config
+from mac_network_tpu.models import MACNetwork
+from mac_network_tpu.ops.pallas import (
+    FusedMACEngine, supports_fused_config)
+
+B, L, H, W, C = 8, 12, 5, 5, 16
+VOCAB, ANSWERS = 30, 10
+
+
+def fused_cfg(**overrides):
+    cfg = Config()
+    cfg.wrdEmbDim = 16
+    cfg.encDim = cfg.ctrlDim = cfg.memDim = cfg.attDim = cfg.stemDim = 32
+    cfg.netLength = 3
+    cfg.outClassifierDims = [32]
+    cfg.questionWordsNum = VOCAB
+    cfg.answerWordsNum = ANSWERS
+    cfg.imageDims = [H, W, C]
+    cfg.encBi = True
+    cfg.relu = "ELU"
+    cfg.outQuestion = True
+    cfg.initCtrl = "Q"
+    cfg.controlContextual = True
+    cfg.controlInputUnshared = True
+    cfg.readProjInputs = True
+    cfg.readMemConcatKB = True
+    cfg.readMemConcatProj = True
+    cfg.readMemProj = True
+    cfg.readCtrl = True
+    cfg.writeMemProj = True
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def make_model(cfg):
+    rng = np.random.RandomState(0)
+    emb = {"q": rng.randn(VOCAB - 1, cfg.wrdEmbDim).astype(np.float32),
+           "a": None}
+    model = MACNetwork(cfg, emb)
+    qs = jnp.asarray(rng.randint(1, VOCAB, (B, L)), jnp.int32)
+    lens = jnp.asarray(rng.randint(3, L + 1, (B,)), jnp.int32)
+    imgs = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        qs, lens, imgs, train=False)
+    return model, emb, variables, qs, lens, imgs
+
+
+def test_supports_config():
+    assert supports_fused_config(fused_cfg())
+    assert supports_fused_config(fused_cfg(writeGate=True))
+    assert not supports_fused_config(fused_cfg(writeSelfAtt=True))
+    assert not supports_fused_config(fused_cfg(controlFeedPrev=True))
+    assert not supports_fused_config(fused_cfg(readMemProj=False))
+
+
+@pytest.mark.parametrize("gate", [False, True])
+def test_fused_matches_xla(gate):
+    cfg = fused_cfg(writeGate=gate)
+    model, emb, variables, qs, lens, imgs = make_model(cfg)
+    expected, _ = model.apply(variables, qs, lens, imgs, train=False)
+
+    engine = FusedMACEngine(cfg, emb, batch_tile=4)
+    got = engine(variables, qs, lens, imgs, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_matches_xla_prm_init_and_shared_qinput():
+    cfg = fused_cfg(initCtrl="PRM", initMem="PRM",
+                    controlInputUnshared=False)
+    model, emb, variables, qs, lens, imgs = make_model(cfg)
+    expected, _ = model.apply(variables, qs, lens, imgs, train=False)
+    engine = FusedMACEngine(cfg, emb, batch_tile=8)
+    got = engine(variables, qs, lens, imgs, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_respects_question_mask():
+    """Padding words must not receive control attention: compare logits for
+    two paddings of the same question."""
+    cfg = fused_cfg()
+    model, emb, variables, qs, lens, imgs = make_model(cfg)
+    engine = FusedMACEngine(cfg, emb, batch_tile=4)
+    got1 = engine(variables, qs, lens, imgs, interpret=True)
+    qs2 = jnp.concatenate([qs, jnp.full((B, 3), 7, jnp.int32)], axis=1)
+    got2 = engine(variables, qs2, lens, imgs, interpret=True)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(got2),
+                               rtol=2e-4, atol=2e-4)

@@ -1,0 +1,64 @@
+"""The scanned recurrence (useScan) must produce identical eval outputs to
+the unrolled path from the same parameter tree."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mac_network_tpu.models import MACNetwork
+from tests.test_model import small_cfg, VARIANTS, make_inputs, \
+    make_embedding_init
+
+
+def test_scan_matches_unrolled_eval():
+    cfg = small_cfg(**VARIANTS["args"])
+    cfg_scan = small_cfg(**VARIANTS["args"], useScan=True)
+
+    emb = make_embedding_init(cfg)
+    qs, lengths, images, _ = make_inputs()
+    model = MACNetwork(cfg, emb)
+    model_scan = MACNetwork(cfg_scan, emb)
+
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1)}
+    variables = model.init(rngs, qs, lengths, images)
+    v_scan = model_scan.init(rngs, qs, lengths, images)
+
+    # identical parameter trees (same names, same shapes)
+    flat_a = jax.tree_util.tree_leaves_with_path(variables["params"])
+    flat_b = jax.tree_util.tree_leaves_with_path(v_scan["params"])
+    paths_a = ["/".join(str(k) for k in p) for p, _ in flat_a]
+    paths_b = ["/".join(str(k) for k in p) for p, _ in flat_b]
+    assert paths_a == paths_b
+
+    logits_u, atts_u = model.apply(variables, qs, lengths, images,
+                                   train=False)
+    logits_s, atts_s = model_scan.apply(variables, qs, lengths, images,
+                                        train=False)
+    np.testing.assert_allclose(np.asarray(logits_s), np.asarray(logits_u),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(atts_s["kb"]),
+                               np.asarray(atts_u["kb"]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_scan_train_step_runs():
+    import optax
+    cfg = small_cfg(**VARIANTS["args"], useScan=True)
+    emb = make_embedding_init(cfg)
+    qs, lengths, images, answers = make_inputs()
+    model = MACNetwork(cfg, emb)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1)}
+    variables = model.init(rngs, qs, lengths, images)
+
+    def loss_fn(params):
+        logits, _ = model.apply({"params": params}, qs, lengths, images,
+                                train=True,
+                                rngs={"dropout": jax.random.key(2)})
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, jnp.asarray(answers)).mean()
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    gnorm = optax.global_norm(grads)
+    assert float(gnorm) > 0
