@@ -20,7 +20,7 @@ def main():
     from __graft_entry__ import _flagship_cfg, _make_model_and_inputs
 
     cfg = _flagship_cfg(small=False)
-    batch = 256
+    batch = 512   # throughput sweet spot on v5e (24.8k q/s vs 22.8k at 256)
     model, variables, (qs, lens, imgs) = _make_model_and_inputs(cfg, batch)
 
     @jax.jit

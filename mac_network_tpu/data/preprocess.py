@@ -25,6 +25,7 @@ import numpy as np
 from mac_network_tpu.config import Config
 from mac_network_tpu.data.symbol_dict import SymbolDict
 from mac_network_tpu.data.program_translator import ProgramTranslator
+from mac_network_tpu import native
 
 
 def vectorize_2d(items: List[List[int]], min_x: int = 0, min_y: int = 0,
@@ -135,10 +136,16 @@ class Preprocesser:
         with open(datasetFilename) as f:
             data = json.load(f)["questions"]
 
+        # native batch tokenization of the whole tier (C++ host op; falls
+        # back to the pure-Python tokenizer with identical output)
+        token_lists = native.tokenize_batch(
+            [inst["question"] for inst in data])
+
         instances = []
         for i, instance in enumerate(data):
             question = instance["question"]
-            questionSeq = tokenize(question)
+            questionSeq = (token_lists[i] if token_lists is not None
+                           else tokenize(question))
 
             if train or (not cfg.wrdEmbUnknown):
                 self.questionDict.addSeq(questionSeq)
@@ -249,7 +256,10 @@ class Preprocesser:
         """Symbols -> padded int arrays (reference: preprocess.py:418-441)."""
         cfg = self.cfg
         qDict = self.qaDict if cfg.ansEmbMod == "SHARED" else self.questionDict
-        encoded = [qDict.encodeSequence(d["questionSeq"]) for d in data]
+        encoded = native.encode_batch([d["questionSeq"] for d in data],
+                                      qDict.sym2id)
+        if encoded is None:
+            encoded = [qDict.encodeSequence(d["questionSeq"]) for d in data]
         questions, lengths = vectorize_2d(encoded,
                                           pad_multiple=max(1, cfg.bucketPad))
         answers = np.array(

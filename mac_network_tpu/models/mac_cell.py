@@ -86,6 +86,57 @@ class ControlUnit(nn.Module):
         return new_control, new_cont_control, attention
 
 
+class SplitActLinear(nn.Module):
+    """Linear + activation + stacked act-layer (same semantics and the same
+    parameter tree as ``Linear(features, act=..)``: weight, bias, act,
+    linear_2) but with the first matmul exposed in two halves, so the
+    step-invariant half of a concatenated input can be hoisted out of the
+    reasoning recurrence (read unit: concat(inter, kbProj) @ W ==
+    inter @ W[:d] + kbProj @ W[d:], and the kbProj term repeats every step
+    at eval)."""
+    in_dim: int
+    features: int
+    cfg: Config
+    act: str = "NON"
+
+    def setup(self):
+        self.weight = self.param("weight", nn.initializers.glorot_uniform(),
+                                 (self.in_dim, self.features), jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+        self.act_mod = Act(self.act, self.cfg, name="act")
+        if self.act != "NON":
+            self.linear_2 = Linear(self.features, self.cfg, act="NON",
+                                   act_layer=False, name="linear_2")
+
+    def _finish(self, pre, train):
+        y = self.act_mod(pre)
+        if self.act != "NON":
+            y = self.linear_2(y, train)
+        return y
+
+    def __call__(self, x, train: bool = False):
+        w = self.weight.astype(x.dtype)
+        pre = jnp.dot(x, w, preferred_element_type=jnp.float32
+                      ).astype(x.dtype) + self.bias.astype(x.dtype)
+        return self._finish(pre, train)
+
+    def project_half(self, x, start: int, with_bias: bool):
+        """x @ weight[start:start+x_dim] (+ bias): one half of the split
+        first matmul."""
+        w = self.weight[start:start + x.shape[-1]].astype(x.dtype)
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+        if with_bias:
+            y = y + self.bias.astype(x.dtype)
+        return y
+
+    def apply_split(self, x_first, hoisted, train: bool = False):
+        """Combine the live first-half input with the precomputed
+        (bias-inclusive) second half, then activation + act-layer."""
+        pre = self.project_half(x_first, 0, with_bias=False) + hoisted
+        return self._finish(pre, train)
+
+
 class ReadUnit(nn.Module):
     """Extract relevant KB information given memory and control
     (reference: mac_cell.py:209-277).
@@ -119,8 +170,12 @@ class ReadUnit(nn.Module):
             self.mem_b = self.param("memInterB", nn.initializers.zeros,
                                     (dim,), jnp.float32)
         if cfg.readMemProj:
-            self.mem_kb_proj = Linear(dim, cfg, act=cfg.readMemAct,
-                                      name="memKbProj")
+            in_dim = dim
+            if cfg.readMemConcatKB:
+                in_dim += cfg.attDim if cfg.readMemConcatProj else cfg.memDim
+            self.mem_kb_proj = SplitActLinear(in_dim, dim, cfg,
+                                              act=cfg.readMemAct,
+                                              name="memKbProj")
         # dim of interactions entering the control stage
         inter_dim = dim
         if cfg.readMemConcatKB and not cfg.readMemProj:
@@ -147,6 +202,14 @@ class ReadUnit(nn.Module):
         netLength recurrence (valid whenever KB dropout is inactive)."""
         return self._proj_kb(knowledge_base, train)
 
+    def project_kb_w1(self, added, train: bool = False):
+        """Hoist the step-invariant (concatenated-KB) half of the read
+        projection's first matmul, bias included — computed once outside
+        the recurrence instead of every step."""
+        cfg = self.cfg
+        d_inter = cfg.attDim if cfg.readProjInputs else cfg.memDim
+        return self.mem_kb_proj.project_half(added, d_inter, with_bias=True)
+
     def _interact(self, x, y, mode, w=None, b=None):
         """One interaction between [B, S, D] and [B, D] (broadcast), in one
         of the reference's four modes (ops.py:700-713)."""
@@ -165,6 +228,7 @@ class ReadUnit(nn.Module):
 
     def __call__(self, knowledge_base, memory, control,
                  kb_proj: Optional[jnp.ndarray] = None,
+                 kb_w1: Optional[jnp.ndarray] = None,
                  mem_dp_mask: Optional[jnp.ndarray] = None,
                  train: bool = False):
         cfg = self.cfg
@@ -195,13 +259,20 @@ class ReadUnit(nn.Module):
         interactions = self._interact(
             x, y, cfg.readMemAttType,
             getattr(self, "mem_w", None), getattr(self, "mem_b", None))
-        if cfg.readMemConcatKB:
-            added = projected_kb if cfg.readMemConcatProj else knowledge_base
-            interactions = jnp.concatenate([interactions, added], axis=-1)
-
-        # project memory interactions back (reference: mac_cell.py:236-240)
-        if cfg.readMemProj:
-            interactions = self.mem_kb_proj(interactions, train)
+        if cfg.readMemProj and cfg.readMemConcatKB and kb_w1 is not None:
+            # hoisted path: the concat-half matmul was precomputed outside
+            # the recurrence; combine with the live interaction half
+            interactions = self.mem_kb_proj.apply_split(interactions, kb_w1,
+                                                        train)
+        else:
+            if cfg.readMemConcatKB:
+                added = (projected_kb if cfg.readMemConcatProj
+                         else knowledge_base)
+                interactions = jnp.concatenate([interactions, added], axis=-1)
+            # project memory interactions back (reference:
+            # mac_cell.py:236-240)
+            if cfg.readMemProj:
+                interactions = self.mem_kb_proj(interactions, train)
 
         # Step 2: interactions with control (reference: mac_cell.py:242-262)
         if cfg.readCtrl:
@@ -328,8 +399,11 @@ class MACCell(nn.Module):
     def project_kb(self, knowledge_base, train: bool = False):
         return self.read.project_kb(knowledge_base, train)
 
+    def project_kb_w1(self, added, train: bool = False):
+        return self.read.project_kb_w1(added, train)
+
     def __call__(self, state, control_input, in_words, out_words, lengths,
-                 knowledge_base, kb_proj=None, mem_dp_mask=None,
+                 knowledge_base, kb_proj=None, kb_w1=None, mem_dp_mask=None,
                  prev_controls=None, prev_memories=None,
                  vec_questions=None, train: bool = False):
         cfg = self.cfg
@@ -345,7 +419,7 @@ class MACCell(nn.Module):
 
         info, kb_att = self.read(
             knowledge_base, memory, new_control, kb_proj=kb_proj,
-            mem_dp_mask=mem_dp_mask, train=train)
+            kb_w1=kb_w1, mem_dp_mask=mem_dp_mask, train=train)
 
         if cfg.writeDropout < 1.0 and train:
             info = _dropout(self, info, cfg.writeDropout)
@@ -360,15 +434,15 @@ class MACCell(nn.Module):
         return (new_control, new_memory, new_cont_control), info, atts
 
     def scan_step(self, carry, control_input, in_words, out_words, lengths,
-                  knowledge_base, kb_proj, mem_dp_mask, vec_questions,
-                  train):
+                  knowledge_base, kb_proj, kb_w1, mem_dp_mask,
+                  vec_questions, train):
         """(carry, x) -> (carry, ys) adapter for ``nn.scan`` over the
         reasoning steps (useScan path; requires shared cells and no
         write self-attention — the growing history forces unrolling,
         SURVEY.md §7 hard parts)."""
         state, info, atts = self(
             carry, control_input, in_words, out_words, lengths,
-            knowledge_base, kb_proj=kb_proj, mem_dp_mask=mem_dp_mask,
-            prev_controls=None, prev_memories=None,
+            knowledge_base, kb_proj=kb_proj, kb_w1=kb_w1,
+            mem_dp_mask=mem_dp_mask, prev_controls=None, prev_memories=None,
             vec_questions=vec_questions, train=train)
         return state, atts

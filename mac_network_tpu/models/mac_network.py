@@ -207,7 +207,7 @@ class MACRecurrence(nn.Module):
                 MACCell,
                 variable_broadcast="params",
                 split_rngs={"params": False, "dropout": True},
-                in_axes=(0,) + (nn.broadcast,) * 8,
+                in_axes=(0,) + (nn.broadcast,) * 9,
                 out_axes=0,
                 methods=["scan_step"])
             # same attribute name -> same "cell" parameter subtree as the
@@ -304,9 +304,16 @@ class MACRecurrence(nn.Module):
         # inactive (always at eval; see mac_cell.ReadUnit docstring).
         # With unshared cells each step has its own projection — no hoist.
         kb_proj = None
-        if (cfg.readProjInputs and not cfg.unsharedCells
-                and (not train or cfg.readDropout >= 1.0)):
+        kb_w1 = None
+        hoist = (cfg.readProjInputs and not cfg.unsharedCells
+                 and (not train or cfg.readDropout >= 1.0))
+        if hoist:
             kb_proj = self.cell.project_kb(knowledge_base, train)
+            if cfg.readMemProj and cfg.readMemConcatKB:
+                # also hoist the concat-half of the read projection's first
+                # matmul (step-invariant at eval) — ~1/3 of the read FLOPs
+                added = kb_proj if cfg.readMemConcatProj else knowledge_base
+                kb_w1 = self.cell.project_kb_w1(added, train)
 
         state = (control, memory, cont_control)
 
@@ -316,7 +323,8 @@ class MACRecurrence(nn.Module):
             stacked_ci = jnp.stack(control_inputs, axis=0)      # [T, B, d]
             state, atts = self.cell.scan_step(
                 state, stacked_ci, in_words, out_words, lengths,
-                knowledge_base, kb_proj, mem_dp_mask, vec_questions, train)
+                knowledge_base, kb_proj, kb_w1, mem_dp_mask, vec_questions,
+                train)
             return state[0], state[1], atts
 
         # ---- unrolled recurrence (reference: model.py:447-458)
@@ -333,7 +341,7 @@ class MACRecurrence(nn.Module):
                 if cfg.writeSelfAtt else None
             state, info, atts = cell(
                 state, control_inputs[i], in_words, out_words, lengths,
-                knowledge_base, kb_proj=kb_proj,
+                knowledge_base, kb_proj=kb_proj, kb_w1=kb_w1,
                 mem_dp_mask=mem_dp_mask,
                 prev_controls=prev_controls, prev_memories=prev_memories,
                 vec_questions=vec_questions, train=train)

@@ -83,6 +83,17 @@ def main(cfg: Config) -> None:
     _random.seed(cfg.seed)
     np.random.seed(cfg.seed)
 
+    # persistent XLA compilation cache: repeated runs skip the 1-2 minute
+    # train-step compiles
+    import os
+    cache_dir = os.environ.get("MAC_TPU_COMPILE_CACHE",
+                               os.path.expanduser("~/.cache/mac_tpu_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     cfg.dumpJson()
 
     print(maclog.bold("Preprocessing data..."))

@@ -1,0 +1,94 @@
+"""Native C++ tokenizer/encoder: builds with g++, matches the pure-Python
+implementation exactly, and is actually faster."""
+
+import time
+
+import pytest
+
+from mac_network_tpu import native
+from mac_network_tpu.data.preprocess import tokenize
+from mac_network_tpu.data.symbol_dict import SymbolDict
+
+QUESTIONS = [
+    "What color is the big sphere?",
+    "Is there a red cube; or a blue one?",
+    "How many objects are there!",
+    "weird (stuff) here, really.",
+    "a/b\\c mixed: punctuation",
+    "",
+    "   leading and trailing   ",
+    "UPPER Case MiXeD",
+]
+
+
+def test_native_builds():
+    assert native.available(), "g++ toolchain expected in this image"
+
+
+def test_tokenize_matches_python():
+    got = native.tokenize_batch(QUESTIONS)
+    expected = [tokenize(q) for q in QUESTIONS]
+    assert got == expected
+
+
+def test_encode_matches_python():
+    d = SymbolDict()
+    for q in QUESTIONS:
+        d.addSeq(tokenize(q))
+    d.createVocab()
+    token_lists = [tokenize(q) for q in QUESTIONS] + [["notinvocab"]]
+    got = native.encode_batch(token_lists, d.sym2id)
+    expected = [d.encodeSequence(t) for t in token_lists]
+    assert got == expected
+    assert got[-1] == [1]          # <UNK>
+
+
+def test_native_is_faster():
+    texts = QUESTIONS * 2000
+    t0 = time.perf_counter()
+    py = [tokenize(q) for q in texts]
+    t_py = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    nat = native.tokenize_batch(texts)
+    t_nat = time.perf_counter() - t0
+    assert nat == py
+    assert t_nat < t_py, (t_nat, t_py)
+
+
+def test_preprocess_uses_native_transparently(tmp_path):
+    """End-to-end: CLEVR reader output identical with and without the
+    native path."""
+    import json
+    from mac_network_tpu.config import Config, load_dataset_config
+    from mac_network_tpu.data.preprocess import Preprocesser
+    from mac_network_tpu.data.synthetic import make_clevr_questions
+
+    qs = make_clevr_questions(30, seed=3)
+    for sub in ("a", "b"):
+        (tmp_path / sub).mkdir()
+        with open(tmp_path / sub / "CLEVR_train_questions.json", "w") as f:
+            json.dump(qs, f)
+
+    def run(subdir, force_python):
+        import random
+        random.seed(0)
+        cfg = Config()
+        cfg.dataBasedir = str(tmp_path)
+        load_dataset_config(cfg)
+        cfg.dataPath = str(tmp_path / subdir)
+        p = Preprocesser(cfg)
+        if force_python:
+            orig = native.tokenize_batch
+            native.tokenize_batch = lambda *a, **k: None
+            try:
+                return p.readCLEVR(cfg.datasetFile("train"),
+                                   cfg.instancesFile("train"), True)
+            finally:
+                native.tokenize_batch = orig
+        return p.readCLEVR(cfg.datasetFile("train"),
+                           cfg.instancesFile("train"), True)
+
+    with_native = run("a", force_python=False)
+    pure_python = run("b", force_python=True)
+    assert [i["questionSeq"] for i in with_native] == \
+        [i["questionSeq"] for i in pure_python]
