@@ -67,14 +67,15 @@ def supports_fused_config(cfg: Config) -> bool:
 
 
 def _act(x, kind: str):
-    # computed in f32: Mosaic has no bf16 compare on this target, and no
-    # expm1 lowering (hence the manual ELU with a guarded exp input)
-    xf = x.astype(jnp.float32)
+    # Mosaic on this target has no bf16 compare and no expm1 lowering, so
+    # ELU is written compare-free:  elu(x) = max(x,0) + exp(min(x,0)) - 1
+    # (for x>0 the exp term is exp(0)-1 = 0; for x<=0 the max term is 0).
+    # Stays in the input dtype — no f32 temporaries live across the matmuls.
     if kind == "ELU":
-        y = jnp.where(xf > 0, xf, jnp.exp(jnp.minimum(xf, 0.0)) - 1.0)
-    else:
-        y = jnp.maximum(xf, 0.0)
-    return y.astype(x.dtype)
+        one = jnp.asarray(1.0, x.dtype)
+        zero = jnp.asarray(0.0, x.dtype)
+        return jnp.maximum(x, zero) + jnp.exp(jnp.minimum(x, zero)) - one
+    return jnp.maximum(x, jnp.asarray(0.0, x.dtype))
 
 
 def _softmax_f32(logits):
@@ -85,6 +86,12 @@ def _softmax_f32(logits):
 
 def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _dot_lowp(a, b):
+    """Matmul with f32 accumulation (Mosaic requires a 32-bit acc) cast
+    straight back to the input dtype."""
+    return jnp.dot(a, b, preferred_element_type=jnp.float32).astype(a.dtype)
 
 
 def _mac_kernel(T: int, relu_kind: str, use_gate: bool, gate_shared: bool,
@@ -111,7 +118,7 @@ def _mac_kernel(T: int, relu_kind: str, use_gate: bool, gate_shared: bool,
 
     kbp2 = kbp.reshape(Bt * S, d)
     # hoist: step-invariant half of the read projection (+ its bias)
-    kbW1b = (_dot(kbp2, w1b_ref[...]) + b1_ref[...]).astype(dtype)  # [Bt*S,d]
+    kbW1b = _dot_lowp(kbp2, w1b_ref[...]) + b1_ref[...].astype(dtype)
 
     wq = wq_ref[...]                      # [d] control-logits vector weight
     wr = wr_ref[...]
@@ -132,9 +139,9 @@ def _mac_kernel(T: int, relu_kind: str, use_gate: bool, gate_shared: bool,
         # ---- read unit
         y = (_dot(memory, wmem_ref[...]) + bmem_ref[...]).astype(dtype)
         inter2 = kbp * y[:, None, :]                         # [Bt, S, d]
-        h = _dot(inter2.reshape(Bt * S, d), w1a_ref[...]).astype(dtype) + kbW1b
+        h = _dot_lowp(inter2.reshape(Bt * S, d), w1a_ref[...]) + kbW1b
         h = _act(h, relu_kind)
-        h = (_dot(h, w2_ref[...]) + b2_ref[...]).astype(dtype)   # act-layer
+        h = _dot_lowp(h, w2_ref[...]) + b2_ref[...].astype(dtype)  # act-layer
         e = _act(h.reshape(Bt, S, d) * control[:, None, :], relu_kind)
         rlog = jnp.sum(e * wr[None, None, :], axis=-1).astype(jnp.float32) + br
         ratt = _softmax_f32(rlog).astype(dtype)
@@ -167,10 +174,28 @@ def fused_mac_steps(cfg: Config, weights: Dict[str, jnp.ndarray],
     B, S, d = kb.shape
     T = cfg.netLength
     L = words.shape[1]
+
+    # large batches run as chunks of <=256: per-call VMEM accounting on this
+    # toolchain grows with the total array sizes and overflows past that
+    if B > 256 and B % 256 == 0:
+        n = B // 256
+        chunk = lambda x, ax=0: x.reshape((n, 256) + x.shape[1:]) \
+            if ax == 0 else x.reshape(x.shape[:1] + (n, 256) + x.shape[2:])
+        ci = control_inputs.reshape(T, n, 256, -1).transpose(1, 0, 2, 3)
+        outs = jax.lax.map(
+            lambda args: fused_mac_steps(
+                cfg, weights, args[0], args[1], args[2], args[3],
+                args[4].transpose(1, 0, 2), args[5], args[6],
+                batch_tile=batch_tile, interpret=interpret),
+            (chunk(kb), chunk(kb_proj), chunk(words), chunk(lengths),
+             ci, chunk(init_control), chunk(init_memory)))
+        return outs.reshape(B, d)
+
     Bt = batch_tile
     while B % Bt:
         Bt //= 2
-    Bt = max(Bt, 1)
+    # TPU lowering: 2-D block sublane dim must be a multiple of 8
+    Bt = max(Bt, 8) if B % 8 == 0 else B
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -218,11 +243,19 @@ def fused_mac_steps(cfg: Config, weights: Dict[str, jnp.ndarray],
     )
 
     flops_per_tile = T * (Bt * S * d * d * 2 * 2 + Bt * d * d * 2 * 3)
+    # "arbitrary" grid semantics: no input double-buffering — each tile runs
+    # all T reasoning steps, so compute dwarfs the DMA and the saved ~3.5MB
+    # of VMEM keeps larger batch tiles under the 16MB budget
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",))
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, d), dtype),
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=compiler_params,
         cost_estimate=pl.CostEstimate(
             flops=flops_per_tile * (B // Bt),
             bytes_accessed=B * S * d * 2 * 2,

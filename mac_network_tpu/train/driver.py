@@ -116,7 +116,7 @@ class Runner:
     def run_epoch(self, state, tier_data: Dict, train: bool, epoch: int,
                   rng=None, saver_hook=None, alter_data=None,
                   get_att: bool = False, get_preds: bool = True,
-                  calle=None):
+                  calle=None, stop_flag=None):
         """(reference: runEpoch, main.py:546-633)"""
         cfg = self.cfg
         start_time0 = time.time()
@@ -206,6 +206,10 @@ class Runner:
                 if calle is not None and batch_num > 0 \
                         and batch_num % cfg.calleEvery == 0:
                     calle()
+
+                # preemption: stop at a batch boundary with current state
+                if stop_flag is not None and stop_flag.get("flag"):
+                    break
             if pending is not None:
                 drain(pending)
             print("")
@@ -242,7 +246,13 @@ class Runner:
     # ------------------------------------------------------------ training
     def train(self, state, data: Dict, preprocessor, rng,
               restore_epoch: int = 0):
-        """Full training orchestration (reference: main.py:693-775)."""
+        """Full training orchestration (reference: main.py:693-775).
+
+        Preemption safety (a reference gap — SURVEY.md §5 "failure
+        detection: none"): SIGTERM/SIGINT request a checkpoint at the next
+        batch boundary before exiting, so TPU-pod preemptions resume from
+        at most one batch of lost work via ``--restore``.
+        """
         cfg = self.cfg
         start0 = time.time()
         best_epoch = restore_epoch
@@ -253,6 +263,21 @@ class Runner:
         def saver_hook(st, ep):
             save_checkpoint(cfg, st, ep, extra={"lr": cfg.lr, "epoch": ep})
 
+        import signal
+        preempted = {"flag": False}
+
+        def _on_term(signum, frame):
+            preempted["flag"] = True
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _on_term)
+            except (ValueError, OSError):
+                pass
+
+
+
         for epoch in range(restore_epoch + 1, cfg.epochs + 1):
             print(maclog.bcolored(f"Training epoch {epoch}...", "green"))
             start = time.time()
@@ -262,7 +287,14 @@ class Runner:
             state, train_res = self.run_epoch(
                 state, training_data, train=True, epoch=epoch, rng=epoch_rng,
                 saver_hook=saver_hook, alter_data=alter_data,
-                get_preds=bool(cfg.analysisType))
+                get_preds=bool(cfg.analysisType), stop_flag=preempted)
+
+            if preempted["flag"]:
+                print(maclog.bcolored(
+                    "preemption requested: checkpointing and stopping",
+                    "red"))
+                saver_hook(state, epoch)
+                break
 
             saver_hook(state, epoch)
 
@@ -300,6 +332,11 @@ class Runner:
                 break
             prev_res = curr_res
 
+        for sig, handler in old_handlers.items():
+            try:
+                signal.signal(sig, handler)
+            except (ValueError, OSError):
+                pass
         print("Training took {:.2f} seconds ({} epochs)".format(
             time.time() - start0, epoch - restore_epoch))
         return state, epoch

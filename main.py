@@ -111,7 +111,13 @@ def main(cfg: Config) -> None:
     epoch = 0
     if cfg.restoreEpoch > 0 or cfg.restore:
         if cfg.restoreEpoch == 0:
-            cfg.restoreEpoch, cfg.lr = maclog.last_logged_epoch(cfg)
+            try:
+                cfg.restoreEpoch, cfg.lr = maclog.last_logged_epoch(cfg)
+            except (ValueError, IndexError, FileNotFoundError):
+                # preempted before the first epoch record: fall back to the
+                # newest checkpoint directory
+                from mac_network_tpu.train.checkpoint import latest_epoch
+                cfg.restoreEpoch = latest_epoch(cfg)
         print(maclog.bcolored(
             "Restoring epoch {} and lr {}".format(cfg.restoreEpoch, cfg.lr),
             "cyan"))

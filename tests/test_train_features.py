@@ -81,3 +81,23 @@ def test_checkpoint_roundtrip(tmp_path):
     ref_mu = jax.tree.leaves(state.opt_state)[0]
     got_mu = jax.tree.leaves(restored.opt_state)[0]
     np.testing.assert_array_equal(np.asarray(ref_mu), np.asarray(got_mu))
+
+
+def test_print_analysis(capsys):
+    from mac_network_tpu.train.logging import print_analysis
+    cfg = Config()
+    cfg.analysisType = "arity"
+    res = {"preds": [
+        {"programSeq": ["0_scene_scene_", "1_count_count_"],
+         "questionSeq": ["a"], "answer": "1", "prediction": "1"},
+        {"programSeq": ["2_equal_size_"],
+         "questionSeq": ["b"], "answer": "no", "prediction": "yes"},
+    ]}
+    print_analysis(cfg, res)
+    out = capsys.readouterr().out
+    assert "Analysis by arity" in out
+    assert "Group 1" in out and "Group 2" in out
+
+    cfg.analysisType = "questionLength"
+    print_analysis(cfg, res)
+    assert "Analysis by questionLength" in capsys.readouterr().out
