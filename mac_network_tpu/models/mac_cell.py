@@ -194,6 +194,8 @@ class ReadUnit(nn.Module):
                                          (inter_dim, inter_dim), jnp.float32)
                 self.ctrl_b = self.param("ctrlInterB", nn.initializers.zeros,
                                          (inter_dim,), jnp.float32)
+        if cfg.readCtrl:
+            self.ctrl_act = Act(cfg.readCtrlAct, cfg, name="ctrlAct")
         self.logits = Inter2Logits(cfg, dropout=cfg.readDropout,
                                    name="inter2logits")
 
@@ -288,7 +290,7 @@ class ReadUnit(nn.Module):
             if cfg.readCtrlConcatKB:
                 added = projected_kb if cfg.readCtrlConcatProj else knowledge_base
                 interactions = jnp.concatenate([interactions, added], axis=-1)
-            interactions = apply_act_fn(cfg.readCtrlAct, interactions, cfg)
+            interactions = self.ctrl_act(interactions)
 
         # Step 3: attention over the KB (reference: mac_cell.py:264-277)
         logits = self.logits(interactions, train)
