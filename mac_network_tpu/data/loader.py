@@ -162,7 +162,12 @@ class PrefetchIterator:
         batch = trim_batch(batch, cfg.bucketPad)
         if self.loader is not None:
             images = self.loader.load_batch(batch)
-            # id-alignment sanity (reference: main.py:592-593)
+            if cfg.computeDtype == "bfloat16":
+                # cast on the host: halves host->device bytes for the image
+                # features (the dominant transfer; the model casts to the
+                # compute dtype on-device anyway)
+                import ml_dtypes
+                images = images.astype(ml_dtypes.bfloat16)
             batch["images"] = images
         batch = pad_batch(batch, cfg.batchSize)
         return batch

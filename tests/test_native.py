@@ -45,14 +45,20 @@ def test_encode_matches_python():
 
 def test_native_is_faster():
     texts = QUESTIONS * 2000
-    t0 = time.perf_counter()
-    py = [tokenize(q) for q in texts]
-    t_py = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    nat = native.tokenize_batch(texts)
-    t_nat = time.perf_counter() - t0
-    assert nat == py
+    native.tokenize_batch(texts[:8])          # warm build/load
+    t_py = min(_timed(lambda: [tokenize(q) for q in texts])
+               for _ in range(3))
+    t_nat = min(_timed(lambda: native.tokenize_batch(texts))
+                for _ in range(3))
+    assert native.tokenize_batch(texts) == [tokenize(q) for q in texts]
+    # solo measurements show 3.5-4x; assert with slack for noisy CI hosts
     assert t_nat < t_py, (t_nat, t_py)
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 def test_preprocess_uses_native_transparently(tmp_path):
