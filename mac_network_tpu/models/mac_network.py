@@ -30,9 +30,8 @@ from flax import linen as nn
 
 from mac_network_tpu.config import Config
 from mac_network_tpu.models.baselines import Baseline
-from mac_network_tpu.models.mac_cell import MACCell, _dropout
-from mac_network_tpu.ops.activations import Act, apply_act_fn
-from mac_network_tpu.ops.attention import masked_softmax
+from mac_network_tpu.models.mac_cell import MACCell
+from mac_network_tpu.ops.activations import Act
 from mac_network_tpu.ops.cnn import CNNLayer
 from mac_network_tpu.ops.dropout import generate_var_dp_mask
 from mac_network_tpu.ops.linear import Linear, FCLayer

@@ -36,6 +36,12 @@ def build_state_and_runner(cfg: Config, embeddings, answer_dict):
     # multi-GPU towers, model.py:776-824, with working gradient reduction)
     if cfg.gpusNum > 1 and cfg.meshData == 0:
         cfg.meshData = min(cfg.gpusNum, len(jax.devices()))
+    n_data = cfg.meshData if cfg.meshData > 0 else (
+        len(jax.devices()) // max(1, cfg.meshModel))
+    if cfg.batchSize % max(1, n_data) != 0:
+        raise SystemExit(
+            f"--batchSize {cfg.batchSize} must be divisible by the "
+            f"data-parallel mesh axis ({n_data} devices)")
 
     model = MACNetwork(cfg, embeddings)
     tx = make_optimizer(cfg)
