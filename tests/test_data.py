@@ -283,3 +283,23 @@ def test_image_loader_npy(tmp_path):
     assert out.shape == (2, 2, 2, 3)          # CHW -> HWC
     np.testing.assert_array_equal(out[0], feats[1].transpose(1, 2, 0))
     loader.close()
+
+
+def test_prefetch_error_propagates(tmp_path):
+    """A loader failure inside the prefetch thread must surface in the
+    consumer, not vanish (the reference's worker swallows exceptions,
+    main.py:413-414 'except: pass' — a documented fix)."""
+    from mac_network_tpu.data.loader import PrefetchIterator
+    cfg = Config()
+
+    class BoomLoader:
+        def load_batch(self, batch):
+            raise RuntimeError("boom")
+
+    batch = {"questions": np.zeros((2, 4), np.int32),
+             "questionLengths": np.ones((2,), np.int32),
+             "answers": np.zeros((2,), np.int32),
+             "imageIds": [0, 1], "indices": [0, 1], "instances": [{}, {}]}
+    it = PrefetchIterator([batch], BoomLoader(), cfg, train=True)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(it)
