@@ -66,9 +66,10 @@ def test_supports_config():
     assert not supports_fused_config(fused_cfg(readMemProj=False))
 
 
-@pytest.mark.parametrize("gate", [False, True])
+@pytest.mark.parametrize("gate", [False, True, "shared"])
 def test_fused_matches_xla(gate):
-    cfg = fused_cfg(writeGate=gate)
+    cfg = fused_cfg(writeGate=bool(gate),
+                    writeGateShared=(gate == "shared"))
     model, emb, variables, qs, lens, imgs = make_model(cfg)
     expected, _ = model.apply(variables, qs, lens, imgs, train=False)
 
