@@ -72,12 +72,30 @@ def save_checkpoint(cfg: Config, state, epoch: int,
     return path
 
 
-def restore_checkpoint(cfg: Config, state, epoch: int):
+def restore_checkpoint(cfg: Config, state, epoch: int, mesh=None):
     """Restore the TrainState saved for ``epoch``; the abstract ``state``
-    provides the tree structure/shardings."""
+    provides the tree structure/shardings.
+
+    Leaves of the live state that sit uncommitted on the default device
+    (e.g. optimizer step counters from an eager ``tx.init``) would be
+    restored committed to a single device, clashing with mesh-sharded
+    params inside jit — when ``mesh`` is given they are restored
+    mesh-replicated instead."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
     path = os.path.abspath(cfg.weightsFile(epoch))
     ckptr = ocp.StandardCheckpointer()
-    abstract = {"state": jax.tree.map(ocp.utils.to_shape_dtype_struct, state),
+
+    def to_abstract(leaf):
+        s = ocp.utils.to_shape_dtype_struct(leaf)
+        if mesh is not None and not isinstance(
+                getattr(leaf, "sharding", None), NamedSharding):
+            s = jax.ShapeDtypeStruct(
+                s.shape, s.dtype,
+                sharding=NamedSharding(mesh, PartitionSpec()))
+        return s
+
+    abstract = {"state": jax.tree.map(to_abstract, state),
                 "extra": {"epoch": 0, "lr": 0.0}}
     restored = ckptr.restore(path, abstract)
     ckptr.close()

@@ -78,7 +78,7 @@ def build_state_and_runner(cfg: Config, embeddings, answer_dict):
     eval_step_att = make_eval_step(model, cfg, with_attention=True)
     runner = Runner(cfg, model, train_step, eval_step, eval_step_att,
                     answer_dict, device_put=lambda b: shard_batch(b, mesh))
-    return model, state, runner
+    return model, state, runner, mesh
 
 
 def main(cfg: Config) -> None:
@@ -110,7 +110,8 @@ def main(cfg: Config) -> None:
 
     print(maclog.bold("Building model..."))
     start = time.time()
-    model, state, runner = build_state_and_runner(cfg, embeddings, answer_dict)
+    model, state, runner, mesh = build_state_and_runner(cfg, embeddings,
+                                                        answer_dict)
     print("took {:.2f} seconds".format(time.time() - start))
 
     # restore / initialize (reference: main.py:185-201)
@@ -127,7 +128,7 @@ def main(cfg: Config) -> None:
         print(maclog.bcolored(
             "Restoring epoch {} and lr {}".format(cfg.restoreEpoch, cfg.lr),
             "cyan"))
-        state = restore_checkpoint(cfg, state, cfg.restoreEpoch)
+        state = restore_checkpoint(cfg, state, cfg.restoreEpoch, mesh=mesh)
         epoch = cfg.restoreEpoch
     else:
         maclog.log_init(cfg)

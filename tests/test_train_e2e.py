@@ -132,3 +132,27 @@ def test_overfit_small_subset(dataset_root, tmp_path):
     last_loss = float(last[3])
     assert last_loss < first_loss, (first_loss, last_loss)
     assert train_acc > 0.4, train_acc   # >> 1/answerWords chance
+
+
+def test_resume_continues_training(dataset_root, tmp_path):
+    """--restore resumes training at the logged epoch with the logged lr
+    and extends the same CSV (reference: main.py:59-64, 185-201, 701)."""
+    from main import main
+    paths = dict(weightsPath=str(tmp_path / "w"), predsPath=str(tmp_path / "p"),
+                 logPath=str(tmp_path / "r"), configPath=str(tmp_path / "r"))
+    cfg = make_cfg(dataset_root, expName="resume", epochs=2,
+                   getPreds=False, evalTrain=False, **paths)
+    main(cfg)
+    with open(cfg.logFile()) as f:
+        n_before = sum(1 for l in f if l.strip())
+
+    cfg2 = make_cfg(dataset_root, expName="resume", epochs=4, restore=True,
+                    getPreds=False, evalTrain=False, lr=999.0, **paths)
+    main(cfg2)
+    assert cfg2.restoreEpoch == 2
+    assert cfg2.lr != 999.0            # lr came from the CSV tail, not CLI
+    with open(cfg2.logFile()) as f:
+        lines = [l.strip() for l in f if l.strip()]
+    assert len(lines) == n_before + 2  # epochs 3 and 4 appended
+    assert lines[-1].startswith("4,")
+    assert os.path.isdir(cfg2.weightsFile(4))
