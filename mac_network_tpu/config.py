@@ -258,6 +258,10 @@ class Config:
                                     # reference trims exactly: main.py:263-270)
     profile: bool = False           # capture a jax.profiler trace per epoch
     seed: int = 0                   # global PRNG seed (data + params + dropout)
+    # multi-host (jax.distributed over ICI/DCN; parallel/multihost.py)
+    coordinatorAddress: str = ""    # coordinator ip:port ("" = env or single)
+    processCount: int = 0           # number of host processes (0/1 = single)
+    processIndex: int = -1          # this process's id (-1 = from env)
 
     # =============== runtime-derived (set by data pipeline) =================
     questionWordsNum: int = 0       # set by preprocessing (preprocess.py:685)
@@ -360,9 +364,12 @@ class Config:
     # ------------------------------------------------------------------ misc
     def dumpJson(self, path: Optional[str] = None) -> None:
         """Config snapshot, like the reference's json.dump(vars(config))
-        (reference: main.py:652-653)."""
+        (reference: main.py:652-653).  Deviation: the reference opens the
+        snapshot in append mode (main.py:652 "a+"), so a second run of the
+        same experiment produces concatenated, unparseable JSON; the
+        snapshot exists for reproducibility, so it is overwritten here."""
         path = path or self.configFile()
-        with open(path, "a+") as f:
+        with open(path, "w") as f:
             json.dump({k: v for k, v in dataclasses.asdict(self).items()}, f)
 
     def replace(self, **kw) -> "Config":
@@ -375,7 +382,11 @@ class Config:
 
 _CHOICES = {
     "dataset": ["CLEVR", "NLVR"],
-    "analysisType": ["", "questionLength, programLength", "type", "arity"],
+    # Deviation from the reference: its choices list contains the broken
+    # single string "questionLength, programLength" (reference:
+    # config.py:149), making those two groupers unreachable from the CLI.
+    # Here each implemented grouper (train/logging.py GROUPERS) is a choice.
+    "analysisType": ["", "questionLength", "programLength", "type", "arity"],
     "relu": ["STD", "PRM", "ELU", "LKY", "SELU"],
     "baselineAttType": ["MUL", "DIAG", "BL", "ADD"],
     "stemGridRnnMod": ["RNN", "GRU"],

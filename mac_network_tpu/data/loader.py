@@ -148,11 +148,14 @@ class PrefetchIterator:
     happens in the consumer (or via shard_batch for multi-chip)."""
 
     def __init__(self, batches: List[Dict], image_loader: Optional[ImageLoader],
-                 cfg: Config, train: bool, depth: int = 2):
+                 cfg: Config, train: bool, depth: int = 2,
+                 process_index: int = 0, process_count: int = 1):
         self.batches = batches
         self.loader = image_loader
         self.cfg = cfg
         self.train = train
+        self.process_index = process_index
+        self.process_count = process_count
         self.q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.error = None
@@ -160,6 +163,19 @@ class PrefetchIterator:
     def _prep(self, batch: Dict) -> Dict:
         cfg = self.cfg
         batch = trim_batch(batch, cfg.bucketPad)
+        if self.process_count > 1:
+            # multi-host: this process prepares (and reads from disk) ONLY
+            # its rows of the global batch; the consumer assembles global
+            # arrays via assemble_global (parallel/multihost.py)
+            from mac_network_tpu.parallel.multihost import host_local_batch
+            n_valid = len(batch["answers"])
+            local = host_local_batch(
+                batch, cfg.batchSize, self.process_index, self.process_count,
+                image_loader=self.loader, compute_dtype=cfg.computeDtype)
+            local["instances"] = [batch["instances"][r]
+                                  for r in local["localRows"]]
+            local["nValidGlobal"] = min(n_valid, cfg.batchSize)
+            return local
         if self.loader is not None:
             images = self.loader.load_batch(batch)
             if cfg.computeDtype == "bfloat16":

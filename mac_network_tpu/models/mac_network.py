@@ -198,6 +198,14 @@ class MACRecurrence(nn.Module):
         cfg = self.cfg
         self._use_scan = (cfg.useScan and not cfg.unsharedCells
                           and not cfg.writeSelfAtt)
+        if cfg.useScan and not self._use_scan:
+            # warn (once per process) rather than silently unrolling
+            import warnings
+            why = ("unsharedCells (per-step parameters)" if cfg.unsharedCells
+                   else "writeSelfAtt (growing step history)")
+            warnings.warn(
+                f"--useScan disabled: {why} requires the unrolled "
+                f"recurrence; running unrolled.", stacklevel=2)
         if cfg.unsharedCells:
             self.cells = [MACCell(cfg, name=f"cell{i}")
                           for i in range(cfg.netLength)]

@@ -15,7 +15,7 @@ and replication keeps every matmul local.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import numpy as np
@@ -46,34 +46,49 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def _param_spec(path: tuple, leaf) -> P:
+def _param_spec(path: tuple, leaf, last_fc: Optional[str]) -> P:
     """Sharding rule for a parameter, by its tree path.
 
     Vocab-dimension tensors shard over 'model':
       * the word-embedding table  [vocab-1, wrdEmbDim]  -> P('model', None)
       * the classifier output weight [d, answers]       -> P(None, 'model')
       * the classifier output bias   [answers]          -> P('model')
-    Everything else is replicated.
+    Everything else (including the classifier's *hidden* FC layers, whose
+    512-dims are small and whose sharding would only add collectives) is
+    replicated.
     """
     keys = [getattr(k, "key", str(k)) for k in path]
     name = "/".join(keys)
     if name.endswith("qEmbeddings/emb") or name.endswith("qEmbeddings/aEmb"):
         return P("model", None)
-    # last FC layer of the classifier
-    if "classifier" in keys and "fc" in keys:
-        # fc_<last> holds the answer projection; shard its output dim
-        fc_layers = [k for k in keys if k.startswith("fc_")]
-        if fc_layers and keys[-1] == "weight" and getattr(leaf, "ndim", 0) == 2:
+    # only fc_<last> holds the answer (vocab-dim) projection
+    if "classifier" in keys and last_fc is not None and last_fc in keys:
+        if keys[-1] == "weight" and getattr(leaf, "ndim", 0) == 2:
             return P(None, "model")
-        if fc_layers and keys[-1] == "bias" and getattr(leaf, "ndim", 0) == 1:
+        if keys[-1] == "bias" and getattr(leaf, "ndim", 0) == 1:
             return P("model")
     return P()
 
 
+def _last_classifier_fc(variables: Any) -> Optional[str]:
+    """Name (fc_<i>) of the classifier's final FC layer in the tree."""
+    best = None
+    for path, _ in jax.tree_util.tree_leaves_with_path(variables):
+        keys = [getattr(k, "key", str(k)) for k in path]
+        if "classifier" in keys:
+            for k in keys:
+                if k.startswith("fc_"):
+                    idx = int(k.split("_")[1])
+                    if best is None or idx > best:
+                        best = idx
+    return None if best is None else f"fc_{best}"
+
+
 def shard_params(variables: Any, mesh: Mesh) -> Any:
     """device_put the variable tree with per-leaf shardings."""
+    last_fc = _last_classifier_fc(variables)
     def place(path, leaf):
-        spec = _param_spec(path, leaf)
+        spec = _param_spec(path, leaf, last_fc)
         # only shard when the axis divides evenly; else replicate
         if any(s is not None for s in spec):
             dim_map = {s: i for i, s in enumerate(spec) if s is not None}

@@ -143,8 +143,11 @@ class Runner:
                 batches, data_len = alternate_data(cfg, batches, alter_data,
                                                    data_len)
 
+            from mac_network_tpu.parallel.multihost import process_info
+            pi, pc = process_info()
             prefetch = PrefetchIterator(batches, loader, cfg, train,
-                                        depth=cfg.prefetchDepth)
+                                        depth=cfg.prefetchDepth,
+                                        process_index=pi, process_count=pc)
 
             # One-batch-deep software pipeline: the device executes batch N
             # while the host converts batch N-1's metrics — the D2H fetch of
@@ -155,7 +158,16 @@ class Runner:
             def drain(pending):
                 nonlocal stats, preds
                 batch_num, batch, out, d_atts, (t0, t1, t2) = pending
-                n_valid = int(batch["mask"].sum())
+                # loss/correct are global (psum over the data axis); under
+                # multi-host the local mask covers only this process's rows,
+                # so the global valid count rides on the batch
+                n_valid = int(batch.get("nValidGlobal", batch["mask"].sum()))
+                # The jitted call returns as soon as the step is *dispatched*
+                # (async dispatch); fetching the metrics to host is what
+                # blocks until the device finishes.  The honest device-time
+                # proxy is dispatch + that blocking fetch — t2-t1 alone
+                # measures only dispatch and is fiction on TPU.
+                t3 = time.time()
                 res = {
                     "loss": float(out["loss"]),
                     "correctNum": float(out["correct"]),
@@ -163,11 +175,12 @@ class Runner:
                     else -1.0,
                     "preds": np.asarray(out["preds"]),
                 }
+                t4 = time.time()
                 atts = ({k: np.asarray(v) for k, v in d_atts.items()}
                         if d_atts is not None else None)
                 res["acc"] = res["correctNum"] / max(n_valid, 1)
                 res["readTime"] = t1 - t0
-                res["trainTime"] = t2 - t1
+                res["trainTime"] = (t2 - t1) + (t4 - t3)
                 stats = maclog.update_stats(stats, res, n_valid)
                 if get_preds:
                     preds += build_preds_list(self.answer_dict, batch,

@@ -22,7 +22,9 @@ import numpy as np
 from mac_network_tpu.config import Config, load_dataset_config, parse_args
 from mac_network_tpu.data import Preprocesser
 from mac_network_tpu.models import MACNetwork
-from mac_network_tpu.parallel import make_mesh, shard_batch, shard_params
+from mac_network_tpu.parallel import (
+    assemble_global, make_mesh, maybe_initialize, process_info, shard_batch,
+    shard_params)
 from mac_network_tpu.train import (
     create_train_state, make_eval_step, make_optimizer, make_train_step)
 from mac_network_tpu.train import logging as maclog
@@ -61,6 +63,14 @@ def build_state_and_runner(cfg: Config, embeddings, answer_dict):
     state = create_train_state(cfg, variables, tx)
 
     train_step = make_train_step(model, cfg, tx)
+
+    # multi-host: each process feeds its local rows; globals are assembled
+    # via make_array_from_process_local_data (parallel/multihost.py)
+    _, pc = process_info()
+    if pc > 1:
+        device_put = lambda b: assemble_global(b, mesh, cfg.batchSize)
+    else:
+        device_put = lambda b: shard_batch(b, mesh)
     if cfg.usePallas:
         from mac_network_tpu.ops.pallas import (
             FusedMACEngine, supports_fused_config)
@@ -77,14 +87,21 @@ def build_state_and_runner(cfg: Config, embeddings, answer_dict):
         eval_step = make_eval_step(model, cfg, with_attention=False)
     eval_step_att = make_eval_step(model, cfg, with_attention=True)
     runner = Runner(cfg, model, train_step, eval_step, eval_step_att,
-                    answer_dict, device_put=lambda b: shard_batch(b, mesh))
+                    answer_dict, device_put=device_put)
     return model, state, runner, mesh
 
 
 def main(cfg: Config) -> None:
+    # multi-host: jax.distributed.initialize BEFORE first backend use
+    # (no-op unless --coordinatorAddress/--processCount or JAX_* env set)
+    if maybe_initialize(cfg):
+        print(maclog.bcolored(
+            "distributed: process {}/{}".format(*process_info()), "cyan"))
+
     # one seed governs data shuffling, param init and dropout streams —
     # resume-deterministic (the reference leaves data-order RNG unseeded;
-    # SURVEY.md §5 checkpoint/resume gap)
+    # SURVEY.md §5 checkpoint/resume gap) — and, multi-host, makes every
+    # process draw the same batch composition without coordination
     import random as _random
     _random.seed(cfg.seed)
     np.random.seed(cfg.seed)

@@ -92,23 +92,44 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
     state = restore_checkpoint(cfg, state, epoch)
     params = state.eval_params(cfg.useEMA)
 
+    # guards main.py has (main.py:40-44): serving is single-device — pad+mask
+    # makes any batchSize work, but be explicit about the device assumption
+    if cfg.batchSize < 1:
+        raise SystemExit(f"--batchSize {cfg.batchSize} must be >= 1")
+    if len(jax.devices()) > 1:
+        print(f"serve: single-device serving on {jax.devices()[0]} "
+              f"({len(jax.devices())} devices visible; use main.py for "
+              f"multi-chip)", file=sys.stderr)
+
+    # the fused engine has no attention outputs; getAtt forces the XLA path
+    # (reference returns attention maps wherever getAtt is set,
+    # model.py:732-760)
+    if cfg.usePallas and get_att:
+        print("serve: --getAtt requires the XLA path; ignoring --usePallas",
+              file=sys.stderr)
+        cfg.usePallas = False
+
     # prediction function: fused engine when requested and supported
     if cfg.usePallas:
         from mac_network_tpu.ops.pallas import (
             FusedMACEngine, supports_fused_config)
         if supports_fused_config(cfg):
             engine = FusedMACEngine(cfg, emb_init)
-            predict = jax.jit(lambda p, q, l, im: jnp.argmax(
-                engine({"params": p}, q, l, im), -1).astype(jnp.int32))
+            predict = jax.jit(lambda p, q, l, im: (jnp.argmax(
+                engine({"params": p}, q, l, im), -1).astype(jnp.int32), {}))
         else:
             print("serve: config outside fused envelope; XLA path",
                   file=sys.stderr)
             cfg.usePallas = False
     if not cfg.usePallas:
-        predict = jax.jit(lambda p, q, l, im: jnp.argmax(
-            model.apply({"params": p, **({"batch_stats": state.batch_stats}
-                                         if state.batch_stats else {})},
-                        q, l, im, train=False)[0], -1).astype(jnp.int32))
+        def _xla_predict(p, q, l, im):
+            logits, atts = model.apply(
+                {"params": p, **({"batch_stats": state.batch_stats}
+                                 if state.batch_stats else {})},
+                q, l, im, train=False)
+            preds = jnp.argmax(logits, -1).astype(jnp.int32)
+            return preds, (atts if get_att else {})
+        predict = jax.jit(_xla_predict)
 
     loader = ImageLoader({"imagesFilename": cfg.imagesFile(tier),
                           **({"imageIdsFilename": cfg.imagesIdsFile(tier)}
@@ -118,6 +139,7 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
         t0 = time.time()
         n = len(requests)
         preds_all = []
+        atts_all = []
         for start in range(0, n, B):
             chunk = requests[start:start + B]
             img = loader.load_batch({"imageIds": [r["imageId"]
@@ -129,15 +151,26 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
                 q = np.concatenate([q, np.repeat(q[-1:], pad, 0)])
                 l = np.concatenate([l, np.repeat(l[-1:], pad, 0)])
                 img = np.concatenate([img, np.repeat(img[-1:], pad, 0)])
-            out = np.asarray(predict(params, jnp.asarray(q), jnp.asarray(l),
-                                     jnp.asarray(img)))
+            out, atts = predict(params, jnp.asarray(q), jnp.asarray(l),
+                                jnp.asarray(img))
+            out = np.asarray(out)
             preds_all.extend(out[:len(chunk)].tolist())
+            if get_att:
+                # atts: {name: [T, B, ...]} -> per-instance nested lists,
+                # the same schema as train/driver.py build_preds_list
+                atts = {k: np.asarray(v) for k, v in atts.items()}
+                for i in range(len(chunk)):
+                    atts_all.append({
+                        k: [a[t, i].tolist() for t in range(a.shape[0])]
+                        for k, a in atts.items()})
         dt = time.time() - t0
     finally:
         loader.close()
 
-    for r, p in zip(requests, preds_all):
+    for i, (r, p) in enumerate(zip(requests, preds_all)):
         r["prediction"] = answer_dict.decodeId(int(p))
+        if get_att:
+            r["attentions"] = atts_all[i]
     with open(output_path, "w") as f:
         json.dump(requests, f)
     stats = {"count": n, "seconds": dt,

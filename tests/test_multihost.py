@@ -1,0 +1,118 @@
+"""Multi-host readiness (parallel/multihost.py): per-process batch-assembly
+math and the make_array_from_process_local_data path, exercised without N
+real hosts (SURVEY.md §2 "Distributed backend" — jax.distributed + XLA
+collectives over ICI/DCN)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from mac_network_tpu.config import Config
+from mac_network_tpu.data.loader import PrefetchIterator, pad_batch, trim_batch
+from mac_network_tpu.parallel import make_mesh, shard_batch
+from mac_network_tpu.parallel.multihost import (
+    assemble_global, host_local_batch, local_rows, maybe_initialize)
+
+
+def test_local_rows_partition():
+    """Every process's rows tile the padded global batch exactly; masks sum
+    to the number of real rows."""
+    B, pc, n_valid = 16, 4, 13
+    all_rows, total_mask = [], 0.0
+    for pi in range(pc):
+        rows, mask = local_rows(n_valid, B, pi, pc)
+        assert len(rows) == B // pc
+        # pad rows replicate the last real row
+        assert all(r == n_valid - 1 for r, m in zip(rows, mask) if m == 0.0)
+        all_rows.extend(min(r, n_valid - 1) for r in rows)
+        total_mask += float(mask.sum())
+    assert total_mask == n_valid
+    # real rows appear exactly once each
+    real = []
+    for pi in range(pc):
+        rows, mask = local_rows(n_valid, B, pi, pc)
+        real += [r for r, m in zip(rows, mask) if m == 1.0]
+    assert sorted(real) == list(range(n_valid))
+
+
+def test_local_rows_requires_divisibility():
+    with pytest.raises(AssertionError):
+        local_rows(10, 10, 0, 3)
+
+
+def _fake_batch(n, L=6, img=(2, 2, 3)):
+    rng = np.random.RandomState(0)
+    return {
+        "questions": rng.randint(1, 9, (n, L)).astype(np.int32),
+        "questionLengths": rng.randint(1, L + 1, (n,)).astype(np.int32),
+        "answers": rng.randint(0, 4, (n,)).astype(np.int32),
+        "images": rng.randn(n, *img).astype(np.float32),
+        "imageIds": list(range(n)),
+        "indices": list(range(n)),
+        "instances": [{"index": i} for i in range(n)],
+    }
+
+
+def test_host_local_slices_reassemble_to_padded_global():
+    """Concatenating every process's host_local_batch equals the
+    single-process pad_batch result row-for-row."""
+    B, pc = 8, 2
+    batch = _fake_batch(n=6)
+    global_padded = pad_batch(dict(batch), B)
+    for key in ("questions", "questionLengths", "answers", "images", "mask"):
+        parts = []
+        for pi in range(pc):
+            local = host_local_batch(dict(batch), B, pi, pc)
+            parts.append(np.asarray(local[key]))
+        np.testing.assert_array_equal(
+            np.concatenate(parts, axis=0), np.asarray(global_padded[key]))
+
+
+def test_prefetch_iterator_process_local():
+    """The prefetcher's multi-host path produces this process's slice with
+    instances aligned to local rows."""
+    cfg = Config()
+    cfg.batchSize = 8
+    cfg.bucketPad = 2
+    batch = _fake_batch(n=6)
+    it0 = PrefetchIterator([dict(batch)], None, cfg, train=True,
+                           process_index=0, process_count=2)
+    it1 = PrefetchIterator([dict(batch)], None, cfg, train=True,
+                           process_index=1, process_count=2)
+    (b0,), (b1,) = list(it0), list(it1)
+    assert len(b0["answers"]) == len(b1["answers"]) == 4
+    assert b0["nValidGlobal"] == 6
+    # process 1 holds the tail: rows 4,5 real + 2 pad rows repeating row 5
+    np.testing.assert_array_equal(b1["mask"], [1.0, 1.0, 0.0, 0.0])
+    assert [i["index"] for i in b0["instances"]] == [0, 1, 2, 3]
+    assert [i["index"] for i in b1["instances"]] == [4, 5, 5, 5]
+    np.testing.assert_array_equal(b1["answers"][2:], batch["answers"][[5, 5]])
+
+
+def test_assemble_global_matches_shard_batch_single_process():
+    """With one process, assemble_global is exactly a sharded device_put:
+    same global values, same 'data'-axis sharding."""
+    cfg = Config()
+    cfg.batchSize = 8
+    cfg.meshModel = 1
+    mesh = make_mesh(cfg)
+    batch = pad_batch(_fake_batch(n=8), 8)
+    feed = {k: batch[k] for k in ("questions", "questionLengths", "images",
+                                  "answers", "mask")}
+    a = assemble_global(feed, mesh, cfg.batchSize)
+    b = shard_batch(feed, mesh)
+    for k in feed:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+        assert "data" in str(a[k].sharding.spec)
+
+
+def test_maybe_initialize_noop_when_unconfigured(monkeypatch):
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    cfg = Config()
+    assert maybe_initialize(cfg) is False
+    cfg.coordinatorAddress = "10.0.0.1:1234"
+    cfg.processCount = 1              # single process: still a no-op
+    assert maybe_initialize(cfg) is False

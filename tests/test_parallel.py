@@ -119,3 +119,29 @@ def test_uneven_vocab_falls_back_to_replication():
     mesh = make_mesh(cfg)
     losses, _ = run_steps(cfg, mesh)
     assert np.isfinite(losses).all()
+
+
+def test_model_axis_shards_only_answer_projection():
+    """Only the classifier's final FC (the vocab-dim answer projection)
+    shards over 'model'; hidden FC layers stay replicated (the documented
+    vocab-dim-only design — unintended hidden-dim sharding adds
+    collectives)."""
+    from mac_network_tpu.parallel.mesh import (
+        _last_classifier_fc, _param_spec)
+
+    # answerWordsNum=8 divides model=2; hidden dim 16 would too — the rule,
+    # not divisibility, must be what keeps hidden layers replicated
+    cfg = tiny_cfg(meshData=4, meshModel=2, questionWordsNum=21,
+                   outClassifierDims=[16, 16])
+    mesh = make_mesh(cfg)
+    losses, state = run_steps(cfg, mesh)
+    assert np.isfinite(losses).all()
+
+    fc = state.params["classifier"]["fc"]
+    assert set(fc) == {"fc_0", "fc_1", "fc_2"}
+    last = _last_classifier_fc(state.params)
+    assert last == "fc_2"
+    # hidden layers replicated, answer projection sharded over 'model'
+    for name in ("fc_0", "fc_1"):
+        assert "model" not in str(fc[name]["weight"].sharding.spec)
+    assert "model" in str(fc["fc_2"]["weight"].sharding.spec)

@@ -40,3 +40,31 @@ def test_serve_roundtrip(tmp_path):
     assert len(answers) == 3
     assert all("prediction" in a and isinstance(a["prediction"], str)
                for a in answers)
+
+    # --getAtt: attention maps exported per instance (reference returns
+    # attention wherever getAtt is set, model.py:732-760); reuse the ckpt
+    outp2 = tmp_path / "ans_att.json"
+    cfg3 = make_cfg(tmp_path, expName="srv", train=False, restore=True,
+                    batchSize=8, getPreds=False, evalTrain=False, getAtt=True)
+    stats = serve.serve(cfg3, str(inp), str(outp2), tier="val", get_att=True)
+    assert stats["count"] == 3
+    with open(outp2) as f:
+        answers = json.load(f)
+    for a in answers:
+        att = a["attentions"]
+        assert set(att) >= {"question", "kb"}
+        # one map per reasoning step, each a plain nested list
+        assert len(att["question"]) == cfg3.netLength
+        assert len(att["kb"]) == cfg3.netLength
+        assert isinstance(att["kb"][0], list)
+
+    # fused engine has no attention outputs: getAtt+usePallas falls back to
+    # the XLA path instead of silently dropping the attention maps
+    outp3 = tmp_path / "ans_att_pallas.json"
+    cfg4 = make_cfg(tmp_path, expName="srv", train=False, restore=True,
+                    batchSize=8, getPreds=False, evalTrain=False,
+                    getAtt=True, usePallas=True)
+    serve.serve(cfg4, str(inp), str(outp3), tier="val", get_att=True)
+    with open(outp3) as f:
+        answers = json.load(f)
+    assert all("attentions" in a for a in answers)
