@@ -246,6 +246,15 @@ class Config:
     writeGateShared: bool = False
     writeGateBias: float = 1.0
 
+    # --------- memory->control auto-encoder loss (reference flags are
+    # commented out, config.py:401-406; cell code mac_cell.py:377-405) -----
+    autoEncMem: bool = False
+    autoEncMemW: float = 0.0001
+    autoEncMemInputs: str = "INFO"  # MEM | INFO
+    autoEncMemAct: str = "NON"      # NON | RELU | TANH
+    autoEncMemLoss: str = "CONT"    # CONT | PROB | SMRY
+    autoEncMemCnct: bool = False
+
     # =============== TPU-native extensions (new in this framework) ==========
     computeDtype: str = "float32"   # float32 | bfloat16 — activation dtype
     useScan: bool = False           # lax.scan over reasoning steps (else unroll)
@@ -410,6 +419,9 @@ _CHOICES = {
     "writeInfoAct": ["NON", "RELU", "TANH"],
     "writeSelfAttMod": ["NON", "CONT"],
     "writeMemAct": ["NON", "RELU", "TANH"],
+    "autoEncMemInputs": ["MEM", "INFO"],
+    "autoEncMemAct": ["NON", "RELU", "TANH"],
+    "autoEncMemLoss": ["CONT", "PROB", "SMRY"],
     "computeDtype": ["float32", "bfloat16"],
 }
 

@@ -137,3 +137,100 @@ def write_synthetic_dataset(root: str, n_train: int = 64, n_val: int = 32,
         else:
             np.save(os.path.join(data_dir, f"{tier}.npy"), feats)
     return root
+
+
+# ------------------------------------------------------------ attention task
+
+def make_attention_task(n_questions: int, n_images: int,
+                        dims=(8, 6, 6), n_colors: int = 4, seed: int = 0,
+                        question_seed: Optional[int] = None):
+    """A compositional task that REQUIRES image attention (unlike
+    ``make_clevr_questions``, whose answers are functions of the question
+    text alone): each image plants one object per shape at a random grid
+    cell, with the cell's feature vector encoding (shape, color); questions
+    ask for the color of a named shape or whether a (color, shape) pair
+    exists.  The same question has different answers on different images,
+    so a model can only solve it by locating the right cell — the synthetic
+    stand-in for CLEVR's "attend to the right object" requirement used by
+    the per-variant convergence tests.
+
+    Returns (instances, features):
+      instances: list of {"question", "answer", "imageId", "program"}
+      features:  [n_images, C, H, W] float32 (reference h5 layout,
+                 extract_features.py:98-101)
+    """
+    C, H, W = dims
+    rng = np.random.RandomState(seed)
+    colors = _COLORS[:n_colors]
+    shapes = _SHAPES
+
+    # fixed random codes; cell feature = shape_code + color_code (+ noise)
+    shape_codes = rng.randn(len(shapes), C).astype(np.float32) * 2.0
+    color_codes = rng.randn(len(colors), C).astype(np.float32) * 2.0
+
+    features = rng.randn(n_images, C, H, W).astype(np.float32) * 0.1
+    scene = []          # per image: {shape_idx: color_idx}
+    for i in range(n_images):
+        cells = rng.choice(H * W, size=len(shapes), replace=False)
+        placed = {}
+        for s, cell in enumerate(cells):
+            c = int(rng.randint(len(colors)))
+            placed[s] = c
+            y, x = divmod(int(cell), W)
+            features[i, :, y, x] += shape_codes[s] + color_codes[c]
+        scene.append(placed)
+
+    # separate question stream so different tiers can draw fresh
+    # (question, image) pairs over the SAME scenes
+    qrng = (np.random.RandomState(question_seed)
+            if question_seed is not None else rng)
+    rng = qrng
+    instances = []
+    for q in range(n_questions):
+        img = int(rng.randint(n_images))
+        s = int(rng.randint(len(shapes)))
+        if rng.rand() < 0.5:
+            text = f"What color is the {shapes[s]}?"
+            answer = colors[scene[img][s]]
+            fn = "query_color"
+        else:
+            c = int(rng.randint(len(colors)))
+            text = f"Is there a {colors[c]} {shapes[s]}?"
+            answer = "yes" if scene[img][s] == c else "no"
+            fn = "exist"
+        program = [
+            {"function": "scene", "value_inputs": [], "inputs": []},
+            {"function": f"filter_shape", "value_inputs": [shapes[s]],
+             "inputs": [0]},
+            {"function": fn, "value_inputs": [], "inputs": [1]},
+        ]
+        instances.append({"question": text, "answer": answer,
+                          "image_index": img, "program": program})
+    return instances, features
+
+
+def write_attention_dataset(root: str, n_train: int = 512, n_val: int = 128,
+                            n_test: int = 128, n_images: int = 48,
+                            dims=(8, 6, 6), seed: int = 0):
+    """Materialize the attention task in the CLEVR directory layout (same
+    files as ``write_synthetic_dataset``), sharing one image set across
+    tiers so val/test measure generalization to unseen (question, image)
+    pairs, not unseen feature noise."""
+    data_dir = os.path.join(root, "CLEVR_v1", "data")
+    os.makedirs(data_dir, exist_ok=True)
+    counts = {"train": n_train, "val": n_val, "test": n_test}
+    for t_i, (tier, n) in enumerate(counts.items()):
+        # same scene seed -> same images; distinct question seed per tier
+        # -> val/test are unseen (question, image) pairs over known scenes
+        instances, features = make_attention_task(
+            n, n_images, dims=dims, seed=seed, question_seed=seed + 101 * (t_i + 1))
+        qpath = os.path.join(data_dir, f"CLEVR_{tier}_questions.json")
+        with open(qpath, "w") as f:
+            json.dump({"questions": instances}, f)
+        try:
+            import h5py
+            with h5py.File(os.path.join(data_dir, f"{tier}.h5"), "w") as hf:
+                hf.create_dataset("features", data=features)
+        except ImportError:
+            np.save(os.path.join(data_dir, f"{tier}.npy"), features)
+    return root

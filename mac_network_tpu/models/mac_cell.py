@@ -40,9 +40,11 @@ from flax import linen as nn
 
 from mac_network_tpu.config import Config
 from mac_network_tpu.ops.activations import Act, apply_act_fn
-from mac_network_tpu.ops.attention import Inter2Logits, att2smry, masked_softmax
+from mac_network_tpu.ops.attention import (Inter2Logits, att2smry, exp_mask,
+                                           masked_softmax)
 from mac_network_tpu.ops.dropout import apply_var_dp_mask
 from mac_network_tpu.ops.linear import Linear, _vector_glorot
+from mac_network_tpu.ops.mul import Mul
 
 
 class ControlUnit(nn.Module):
@@ -384,6 +386,43 @@ class WriteUnit(nn.Module):
         return new_memory, attentions
 
 
+class MemAutoEnc(nn.Module):
+    """Memory->control auto-encoder loss (reference: mac_cell.py:377-405;
+    flags commented out in reference config.py:401-406 — the one §2
+    inventory row with no round-1 counterpart).  Reconstructs the step's
+    control (or its word attention) from the new memory / retrieved info;
+    the weighted sum over steps is added to the training loss."""
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, new_memory, info, control, cntx_words, lengths,
+                 q_att, train: bool = False):
+        cfg = self.cfg
+        features = info if cfg.autoEncMemInputs == "INFO" else new_memory
+        features = Linear(cfg.ctrlDim, cfg, act=cfg.autoEncMemAct,
+                          name="aeMem")(features, train)
+
+        if cfg.autoEncMemLoss == "CONT":
+            return jnp.mean(jnp.square(control - features))
+
+        interactions, _ = Mul(cfg, concat_x=cfg.autoEncMemCnct,
+                              mul_bias=cfg.mulBias,
+                              name="aeMemMul")(cntx_words, features, train)
+        logits = Inter2Logits(cfg, name="inter2logits")(interactions, train)
+        logits = exp_mask(logits.astype(jnp.float32), lengths)
+
+        if cfg.autoEncMemLoss == "PROB":
+            # softmax CE against the step's own question attention
+            log_p = jax.nn.log_softmax(logits, axis=-1)
+            target = q_att.astype(jnp.float32)
+            return jnp.mean(-jnp.sum(target * log_p, axis=-1))
+
+        # "SMRY": reconstruct control through the word attention
+        attention = jax.nn.softmax(logits, axis=-1).astype(cntx_words.dtype)
+        summary = att2smry(attention, cntx_words)
+        return jnp.mean(jnp.square(control - summary))
+
+
 class MACCell(nn.Module):
     """One full MAC step: control -> read -> write
     (reference: mac_cell.py:420-480).  Parameters are shared across steps by
@@ -397,6 +436,8 @@ class MACCell(nn.Module):
         self.control_unit = ControlUnit(cfg, name="control")
         self.read = ReadUnit(cfg, name="read")
         self.write = WriteUnit(cfg, name="write")
+        if cfg.autoEncMem:
+            self.mem_auto_enc = MemAutoEnc(cfg, name="memAutoEnc")
 
     def project_kb(self, knowledge_base, train: bool = False):
         return self.read.project_kb(knowledge_base, train)
@@ -433,6 +474,11 @@ class MACCell(nn.Module):
 
         atts = {"question": q_att, "kb": kb_att}
         atts.update(w_atts)
+        # auto-encoder loss (reference call site commented: mac_cell.py:468)
+        if cfg.autoEncMem:
+            atts["autoEncMem"] = self.mem_auto_enc(
+                new_memory, info, new_control, out_words, lengths, q_att,
+                train)
         return (new_control, new_memory, new_cont_control), info, atts
 
     def scan_step(self, carry, control_input, in_words, out_words, lengths,

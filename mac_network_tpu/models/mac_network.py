@@ -339,7 +339,7 @@ class MACRecurrence(nn.Module):
         memories = [memory]
         infos = []
         att_hist: Dict[str, list] = {"question": [], "kb": [], "self": [],
-                                     "gate": []}
+                                     "gate": [], "autoEncMem": []}
         for i in range(T):
             cell = (self.cells[i] if cfg.unsharedCells else self.cell)
             prev_controls = jnp.stack(controls, axis=1) \

@@ -61,12 +61,12 @@ def loss_fn(model, cfg: Config, params, batch_stats, batch, rng):
     variables = {"params": params}
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
-        (logits, _), new_vars = model.apply(
+        (logits, atts), new_vars = model.apply(
             variables, batch["questions"], batch["questionLengths"],
             batch["images"], train=True, rngs={"dropout": rng},
             mutable=["batch_stats"])
     else:
-        logits, _ = model.apply(
+        logits, atts = model.apply(
             variables, batch["questions"], batch["questionLengths"],
             batch["images"], train=True, rngs={"dropout": rng})
         new_vars = {}
@@ -80,6 +80,10 @@ def loss_fn(model, cfg: Config, params, batch_stats, batch, rng):
         loss = jnp.mean(losses)
     if cfg.l2 > 0:
         loss = loss + _l2_loss(cfg, params)
+    # memory auto-encoder loss, summed over reasoning steps
+    # (reference: mac_cell.py:377-405 with weight autoEncMemW)
+    if cfg.autoEncMem and "autoEncMem" in atts:
+        loss = loss + cfg.autoEncMemW * jnp.sum(atts["autoEncMem"])
     preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     corrects = (preds == labels).astype(jnp.float32)
     if mask is not None:
@@ -176,7 +180,9 @@ def make_eval_step(model, cfg: Config, with_attention: bool = False):
             corrects = corrects * mask
         out = {"loss": loss, "correct": jnp.sum(corrects), "preds": preds}
         if with_attention:
-            out["attentions"] = atts
+            # the auto-encoder entry is a per-step loss, not an attention map
+            out["attentions"] = {k: v for k, v in atts.items()
+                                 if k != "autoEncMem"}
         return out
 
     return jax.jit(eval_step)

@@ -149,6 +149,10 @@ def tf1_name_map(cfg: Config,
         raise NotImplementedError(
             "TF1 import covers the bi-LSTM encoder (the shipped arg files); "
             f"got encType={cfg.encType} encBi={cfg.encBi}")
+    if cfg.autoEncMem:
+        raise NotImplementedError(
+            "autoEncMem params cannot appear in reference checkpoints "
+            "(its call site is commented out, reference mac_cell.py:468)")
 
     out: Dict[str, Tuple[str, ...]] = {}
 

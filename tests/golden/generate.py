@@ -1,0 +1,73 @@
+"""Generate the golden-logits corpus (tests/golden/logits_<variant>.npz).
+
+Locks numerics across rounds (VERDICT round-1 missing #1): frozen seeds,
+small config, f32 on CPU.  Each archive stores the full flattened param
+tree AND the eval logits, so a future failure separates init drift
+(params differ) from forward-math drift (same params, different logits).
+
+Regenerate ONLY for a deliberate, documented numerics change:
+
+    python tests/golden/generate.py
+"""
+
+import os
+import sys
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np  # noqa: E402
+
+GOLDEN_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def flatten_params(params, prefix=()):
+    out = {}
+    for k, v in params.items():
+        if isinstance(v, dict):
+            out.update(flatten_params(v, prefix + (k,)))
+        else:
+            out[".".join(prefix + (k,))] = np.asarray(v)
+    return out
+
+
+def build(variant):
+    from tests.test_model import (VARIANTS, make_embedding_init, make_inputs,
+                                  small_cfg)
+    from mac_network_tpu.models import MACNetwork
+    cfg = small_cfg(**VARIANTS[variant])
+    emb = make_embedding_init(cfg)
+    qs, lengths, images, _ = make_inputs(seed=123)
+    model = MACNetwork(cfg, emb)
+    rngs = {"params": jax.random.key(7), "dropout": jax.random.key(8)}
+    variables = model.init(rngs, qs, lengths, images)
+    logits, _ = model.apply(variables, qs, lengths, images, train=False)
+    return variables["params"], (qs, lengths, images), np.asarray(logits)
+
+
+def main():
+    from tests.test_model import VARIANTS
+    import flax
+    for variant in sorted(VARIANTS):
+        params, (qs, lengths, images), logits = build(variant)
+        flat = {f"param.{k}": v for k, v in flatten_params(params).items()}
+        path = os.path.join(GOLDEN_DIR, f"logits_{variant}.npz")
+        np.savez_compressed(
+            path,
+            questions=np.asarray(qs), lengths=np.asarray(lengths),
+            images=np.asarray(images), logits=logits,
+            jax_version=np.asarray(jax.__version__),
+            flax_version=np.asarray(flax.__version__),
+            **flat)
+        print(f"{path}: logits {logits.shape}, "
+              f"{len(flat)} param leaves, |logits| max "
+              f"{np.abs(logits).max():.4f}")
+
+
+if __name__ == "__main__":
+    main()
