@@ -3,24 +3,52 @@
 The device hot loop (SURVEY.md §3.3) is netLength repetitions of
 control-attention over <=L question words, read-attention over the S=H*W
 knowledge-base cells, and the write update.  The XLA path streams the
-[B, S, d] interaction tensors through HBM every step; this kernel instead:
+[B, S, d] interaction tensors through HBM every step; this kernel instead
+keeps the KB tiles and all cell weights resident in VMEM across ALL
+netLength steps — the KB is read from HBM once per example instead of once
+per step per tensor.
 
-  * tiles the batch (grid over B/Bt) and keeps the KB tile, the projected
-    KB tile and all cell weights resident in VMEM across ALL netLength
-    steps — the KB is read from HBM once per example instead of once per
-    step per tensor;
-  * hoists the step-invariant half of the read unit's first projection:
-    concat(inter, kbProj) @ W1 == inter @ W1a + kbProj @ W1b, and
-    kbProj @ W1b is the same every step at eval — computed once per tile
-    (the XLA unrolled loop re-does this 1/3 of the read FLOPs each step);
-  * runs every matmul on the MXU in bf16 with f32 accumulation and the two
-    softmaxes in f32.
+Design (v2 — closes most of the gap to XLA's fused recurrence; measured
+analysis in ARCHITECTURE.md "Performance snapshot"):
 
-Supported config envelope (``supports_fused_config``): the shipped
-args/args2/args4 variants — non-recurrent control, MUL interactions,
-readMemConcatKB+Proj, readMemProj (with the act-layer second linear),
-readCtrl, write BOTH + memory projection, optional write gate.  Everything
-else falls back to the XLA path (mac_network.MACRecurrence).
+  * **The control unit is loop-independent** whenever ``controlFeedPrev``
+    is off (the shipped args/args2/args3/args4 variants): each step's
+    control is attention of a precomputed per-step projection ``ci_t``
+    over the question words, with no dependence on memory or the previous
+    control (reference: mac_cell.py:133-187 — the recurrent merge is only
+    entered under controlFeedPrev, :142-151).  So the engine computes ALL
+    netLength controls as one batched XLA einsum, and the kernel loop is
+    just the memory chain (read + write).  The same applies to the write
+    gate (a function of the step's control, mac_cell.py:358-367) and to
+    the write self-attention *weights* (a function of the control history,
+    mac_cell.py:316-330) — both precomputed; only the attention-weighted
+    sum over previous *memories* stays in the loop.
+  * **The KB axis is padded to the sublane tile** (16 for bf16, 8 for
+    f32), so the per-step [Bt, S, d] -> [Bt*S, d] reshapes around the MXU
+    matmuls are layout-trivial instead of physical relayouts; padded cells
+    are masked out of the read softmax with an additive -inf row.
+  * The step-invariant half of the read unit's first projection
+    (concat(inter, kbProj) @ W1 == inter @ W1a + kbProj @ W1b, constant at
+    eval) is computed OUTSIDE the kernel as one big batched matmul
+    (reference re-does this 1/3 of the read FLOPs every step).
+  * The write unit's two matmuls run as one concat matmul (one MXU weight
+    load per step instead of two; M = Bt is tiny so weight loads dominate
+    these small matmuls).
+  * Every matmul runs on the MXU in bf16 with f32 accumulation; the read
+    softmax runs in f32.
+
+Supported config envelope (``supports_fused_config``): all five shipped
+variants —
+  * args / args2 (non-recurrent control), args4 (+ write gate): fully
+    hoisted control/gate, kernel loop = read + write;
+  * args3 (writeSelfAtt): self-attention weights over the control history
+    precomputed; the kernel keeps a [T+1, Bt, d] memory-history scratch
+    and mixes it with the precomputed weights (mac_cell.py:316-330);
+  * args1 (controlFeedPrev + FeedPrevAtt + FeedInputs + TANH): the control
+    recurrence is genuinely sequential, so a second kernel body keeps the
+    control unit in-loop (words resident in VMEM); the ci half of the
+    contControl projection is still precomputed per step.
+Everything else falls back to the XLA path (mac_network.MACRecurrence).
 
 This is an inference/serving engine; training keeps the XLA path (fresh
 per-step dropout breaks the hoists — mac_cell.ReadUnit docstring).
@@ -40,11 +68,13 @@ from jax.experimental.pallas import tpu as pltpu
 from mac_network_tpu.config import Config
 
 NEG_INF = -1e30
+# batches above this run as unrolled chunks (one pallas_call per chunk)
+_MAX_CALL_BATCH = 512
 
 
 def supports_fused_config(cfg: Config) -> bool:
-    """The flag combination the fused kernel implements exactly."""
-    return (
+    """The flag combinations the fused kernels implement exactly."""
+    common = (
         cfg.readProjInputs and not cfg.readProjShared
         and cfg.readMemAttType == "MUL" and cfg.readMemConcatKB
         and cfg.readMemConcatProj and cfg.readMemProj
@@ -52,18 +82,26 @@ def supports_fused_config(cfg: Config) -> bool:
         and cfg.readCtrl and cfg.readCtrlAttType == "MUL"
         and not cfg.readCtrlConcatKB and not cfg.readCtrlConcatInter
         and cfg.readCtrlAct == "RELU" and not cfg.readSmryKBProj
-        and not cfg.controlFeedPrev and not cfg.controlConcatWords
-        and not cfg.controlProj and not cfg.controlContinuous
-        and not cfg.controlWholeQ
+        and cfg.ctrlDim == cfg.attDim
+        and not cfg.controlConcatWords and not cfg.controlProj
+        and not cfg.controlContinuous and not cfg.controlWholeQ
         and not cfg.controlInWordsProj and not cfg.controlOutWordsProj
         and cfg.writeInputs == "BOTH" and not cfg.writeConcatMul
-        and not cfg.writeSelfAtt and not cfg.writeMergeCtrl
+        and not cfg.writeMergeCtrl
         and not cfg.writeInfoProj and cfg.writeInfoAct == "NON"
         and cfg.writeMemAct == "NON" and not cfg.memoryBN
         and not cfg.unsharedCells and cfg.initKBwithQ == "NON"
         and not cfg.addNullWord and cfg.relu in ("ELU", "STD")
-        and cfg.mulBias == 0.0
+        and cfg.mulBias == 0.0 and not cfg.autoEncMem
     )
+    if not common:
+        return False
+    if cfg.controlFeedPrev:
+        # args1: recurrent control stays in-kernel; the growing
+        # self-attention history on top of it is not supported
+        return (not cfg.writeSelfAtt
+                and cfg.controlContAct in ("NON", "TANH", "RELU"))
+    return True
 
 
 def _act(x, kind: str):
@@ -75,6 +113,10 @@ def _act(x, kind: str):
         one = jnp.asarray(1.0, x.dtype)
         zero = jnp.asarray(0.0, x.dtype)
         return jnp.maximum(x, zero) + jnp.exp(jnp.minimum(x, zero)) - one
+    if kind == "TANH":
+        return jnp.tanh(x)
+    if kind == "NON":
+        return x
     return jnp.maximum(x, jnp.asarray(0.0, x.dtype))
 
 
@@ -94,102 +136,269 @@ def _dot_lowp(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32).astype(a.dtype)
 
 
-def _mac_kernel(T: int, relu_kind: str, use_gate: bool, gate_shared: bool,
-                gate_bias: float,
-                # refs (order must match the pallas_call below)
-                kb_ref, kbp_ref, words_ref, mask_ref, ci_ref,
-                ctrl0_ref, mem0_ref,
-                wq_ref, bq_ref, wmem_ref, bmem_ref,
-                w1a_ref, w1b_ref, b1_ref, w2_ref, b2_ref,
-                wr_ref, br_ref, w3m_ref, w3i_ref, b3_ref,
-                wg_ref, bg_ref,
-                out_ref):
-    """One batch tile, all T reasoning steps."""
-    Bt, S, d = kb_ref.shape
-    L = words_ref.shape[1]
-    dtype = kb_ref.dtype
+def _sublane(dtype) -> int:
+    return 16 if dtype == jnp.bfloat16 else 8
 
-    kb = kb_ref[...]                      # [Bt, S, d]
-    kbp = kbp_ref[...]
-    words = words_ref[...]                # [Bt, L, d]
-    mask = mask_ref[...]                  # [Bt, L] additive f32 mask
-    memory = mem0_ref[...]
-    control = ctrl0_ref[...]
 
-    kbp2 = kbp.reshape(Bt * S, d)
-    # hoist: step-invariant half of the read projection (+ its bias)
-    kbW1b = _dot_lowp(kbp2, w1b_ref[...]) + b1_ref[...].astype(dtype)
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
-    wq = wq_ref[...]                      # [d] control-logits vector weight
-    wr = wr_ref[...]
-    bq = bq_ref[0, 0]
-    br = br_ref[0, 0]
 
-    def step(t, carry):
-        control, memory = carry
-        ci = ci_ref[t]                    # [Bt, d]
+# ------------------------------------------------------------------ kernels
 
-        # ---- control unit: attention over question words
-        inter = ci[:, None, :] * words                       # [Bt, L, d]
-        qlog = jnp.sum(inter * wq[None, None, :], axis=-1)
-        qlog = qlog.astype(jnp.float32) + bq + mask
-        qatt = _softmax_f32(qlog).astype(dtype)
-        control = jnp.sum(qatt[:, :, None] * words, axis=1).astype(dtype)
+def _read_write_step(relu_kind, S_real,
+                     kb, kbp, kbw1b, memory, control,
+                     wmem_ref, bmem_ref, w1a_ref, w2_ref, b2_ref,
+                     wr128, br, w3_ref, b3_ref, smry=None):
+    """One read + write step shared by both kernel bodies.
 
-        # ---- read unit
-        y = (_dot(memory, wmem_ref[...]) + bmem_ref[...]).astype(dtype)
-        inter2 = kbp * y[:, None, :]                         # [Bt, S, d]
-        h = _dot_lowp(inter2.reshape(Bt * S, d), w1a_ref[...]) + kbW1b
-        h = _act(h, relu_kind)
-        h = _dot_lowp(h, w2_ref[...]) + b2_ref[...].astype(dtype)  # act-layer
-        e = _act(h.reshape(Bt, S, d) * control[:, None, :], relu_kind)
-        rlog = jnp.sum(e * wr[None, None, :], axis=-1).astype(jnp.float32) + br
-        ratt = _softmax_f32(rlog).astype(dtype)
-        info = jnp.sum(ratt[:, :, None] * kb, axis=1).astype(dtype)
+    kb/kbp: [Bt, Sp, d] VMEM-resident values; kbw1b: [Bt*Sp, d] hoisted
+    half-projection (bias included); memory/control: [Bt, d];
+    wr128: [d, 128] — the read-logits vector weight broadcast across a full
+    MXU lane tile, so the rank-1 logits contraction runs on the MXU instead
+    of as a (slow) cross-lane VPU reduction.
+    Returns the pre-gate new memory.
+    """
+    Bt, Sp, d = kb.shape
+    dtype = kb.dtype
 
-        # ---- write unit: concat(mem, info) @ W3 via split halves
-        new_mem = (_dot(memory, w3m_ref[...]) + _dot(info, w3i_ref[...])
-                   + b3_ref[...]).astype(dtype)
-        if use_gate:
-            z = jax.nn.sigmoid(
-                (_dot(control, wg_ref[...]) + bg_ref[...]
-                 + gate_bias).astype(jnp.float32)).astype(dtype)
-            new_mem = new_mem * z + memory * (1.0 - z)
-        return control, new_mem
+    # ---- read unit (reference: mac_cell.py:209-277)
+    y = (_dot(memory, wmem_ref[...]) + bmem_ref[...]).astype(dtype)
+    inter2 = (kbp * y[:, None, :]).reshape(Bt * Sp, d)
+    h = _dot_lowp(inter2, w1a_ref[...]) + kbw1b
+    h = _act(h, relu_kind)
+    h = _dot_lowp(h, w2_ref[...]) + b2_ref[...].astype(dtype)  # act-layer
+    e = _act(h.reshape(Bt, Sp, d) * control[:, None, :], relu_kind)
+    r = _dot(e.reshape(Bt * Sp, d), wr128)                 # f32 [Bt*Sp, 128]
+    # The read softmax runs entirely in the SUBLANE layout the matmul
+    # produced (S on sublanes): extracting a lane-layout [Bt, Sp] logits
+    # row would be a physical transpose, and the attention weights would
+    # need transposing back to multiply kb — measured ~1ms/recurrence.
+    # Max-free softmax: exact whenever max|logit| <= 80 (the clamp keeps
+    # exp finite beyond that; trained-model KB logits are O(10)); the
+    # epsilon keeps an all-underflow row at zero instead of NaN.
+    pad_mask = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, Sp, 1), 1) < S_real,
+        0.0, NEG_INF).astype(jnp.float32)
+    rl = r.reshape(Bt, Sp, 128) + br + pad_mask
+    ex = jnp.exp(jnp.minimum(rl, 80.0))
+    sm = jnp.sum(ex, axis=1, keepdims=True)
+    ratt3 = (ex / (sm + 1e-30)).astype(dtype)              # [Bt, Sp, 128]
+    rb = jnp.broadcast_to(ratt3[:, :, :1], (Bt, Sp, d))
+    info = jnp.sum(rb * kb, axis=1).astype(dtype)
 
-    control, memory = jax.lax.fori_loop(0, T, step, (control, memory))
-    out_ref[...] = memory
+    # ---- write unit: concat(mem, info[, smry]) @ W3 as ONE matmul
+    # (reference: mac_cell.py:333-352); M = Bt is tiny, so one MXU weight
+    # load instead of two/three dominates the cost of these matmuls
+    parts = [memory, info] + ([smry] if smry is not None else [])
+    new_mem = (_dot(jnp.concatenate(parts, axis=-1), w3_ref[...])
+               + b3_ref[...]).astype(dtype)
+    return new_mem
 
+
+def _project_kb_in_kernel(kb, wpx_ref, bpx_ref, w1b_ref, b1_ref):
+    """Compute the two hoisted KB projections ONCE per tile, in VMEM:
+    kbp = kb @ Wpx + bpx (the read unit's projX) and the concat-half of the
+    first read matmul kbw1b = kbp @ W1b + b1.  Doing this in-kernel (instead
+    of in the XLA glue) removes two [B, S, d] tensors' HBM write+read
+    round-trip — the kernel DMAs only kb and amortizes the projections over
+    all T steps."""
+    Bt, Sp, d = kb.shape
+    dtype = kb.dtype
+    kb2 = kb.reshape(Bt * Sp, d)
+    kbp2 = (_dot(kb2, wpx_ref[...]) + bpx_ref[...]).astype(dtype)
+    kbw1b = (_dot(kbp2, w1b_ref[...]) + b1_ref[...]).astype(dtype)
+    return kbp2.reshape(Bt, Sp, d), kbw1b
+
+
+def _build_hoisted_kernel(T: int, relu_kind: str, S_real: int,
+                          use_gate: bool, use_satt: bool):
+    """Kernel body for the non-recurrent-control variants (args, args2,
+    args3, args4): controls / gates / self-attention weights arrive
+    precomputed; the loop is the memory chain only."""
+
+    def kernel(*refs):
+        it = iter(refs)
+        kb_ref = next(it)
+        ctrl_ref = next(it)                       # [T, Bt, d]
+        gates_ref = next(it) if use_gate else None   # [T, Bt, d]
+        satt_ref = next(it) if use_satt else None    # [T, T, Bt] f32
+        mem0_ref = next(it)
+        wpx_ref, bpx_ref, w1b_ref, b1_ref = (next(it) for _ in range(4))
+        wmem_ref, bmem_ref, w1a_ref, w2_ref, b2_ref = (
+            next(it) for _ in range(5))
+        wr_ref, br_ref, w3_ref, b3_ref = (next(it) for _ in range(4))
+        out_ref = next(it)
+        hist_ref = next(it) if use_satt else None    # scratch [T+1, Bt, d]
+
+        Bt, Sp, d = kb_ref.shape
+        dtype = kb_ref.dtype
+        kb = kb_ref[...]
+        kbp, kbw1b = _project_kb_in_kernel(kb, wpx_ref, bpx_ref,
+                                           w1b_ref, b1_ref)
+        wr128 = wr_ref[...]
+        br = br_ref[0, 0]
+
+        if use_satt:
+            hist_ref[...] = jnp.zeros_like(hist_ref)
+            hist_ref[0] = mem0_ref[...]
+
+        def step(t, memory):
+            control = ctrl_ref[t]
+            smry = None
+            if use_satt:
+                # attention-weighted sum of previous memories with the
+                # PRECOMPUTED weights (zeros beyond step t, so the
+                # zero-initialised future slots contribute nothing)
+                att = satt_ref[t]                        # [T, Bt] f32
+                hist = hist_ref[0:T]                     # [T, Bt, d]
+                smry = jnp.sum(att[:, :, None] * hist.astype(jnp.float32),
+                               axis=0).astype(dtype)
+            new_mem = _read_write_step(
+                relu_kind, S_real, kb, kbp, kbw1b, memory, control,
+                wmem_ref, bmem_ref, w1a_ref, w2_ref, b2_ref,
+                wr128, br, w3_ref, b3_ref, smry=smry)
+            if use_gate:
+                z = gates_ref[t]
+                new_mem = new_mem * z + memory * (1.0 - z)
+            if use_satt:
+                hist_ref[pl.ds(t + 1, 1)] = new_mem[None]
+            return new_mem
+
+        out_ref[...] = jax.lax.fori_loop(0, T, step, mem0_ref[...])
+
+    return kernel
+
+
+def _build_feedprev_kernel(T: int, relu_kind: str, S_real: int,
+                           use_gate: bool, feed_prev_att: bool,
+                           cont_act: str, gate_bias: float):
+    """Kernel body for args1 (controlFeedPrev): the control recurrence is
+    sequential, so the control unit runs in-loop over VMEM-resident words.
+    The ci half of the contControl projection (+ its bias) and the shared
+    per-step question projections arrive precomputed ([T, Bt, d])."""
+
+    def kernel(*refs):
+        it = iter(refs)
+        kb_ref = next(it)
+        words_ref = next(it)                      # [Bt, L, d]
+        wmask_ref = next(it)                      # [Bt, L] f32 additive
+        ciproj_ref = next(it)                     # [T, Bt, d]
+        ctrl0_ref = next(it)
+        mem0_ref = next(it)
+        wpx_ref, bpx_ref, w1b_ref, b1_ref = (next(it) for _ in range(4))
+        wcc_ref, wcc2_ref, bcc2_ref = (next(it) for _ in range(3))
+        wq_ref, bq_ref = next(it), next(it)
+        wmem_ref, bmem_ref, w1a_ref, w2_ref, b2_ref = (
+            next(it) for _ in range(5))
+        wr_ref, br_ref, w3_ref, b3_ref = (next(it) for _ in range(4))
+        wg_ref = next(it) if use_gate else None
+        bg_ref = next(it) if use_gate else None
+        out_ref = next(it)
+
+        Bt, Sp, d = kb_ref.shape
+        dtype = kb_ref.dtype
+        kb = kb_ref[...]
+        kbp, kbw1b = _project_kb_in_kernel(kb, wpx_ref, bpx_ref,
+                                           w1b_ref, b1_ref)
+        words = words_ref[...]
+        wmask = wmask_ref[...]
+        wq = wq_ref[...]
+        bq = bq_ref[0, 0]
+        wr128 = wr_ref[...]
+        br = br_ref[0, 0]
+
+        def step(t, carry):
+            control, cont_control, memory = carry
+
+            # ---- control unit with recurrent merge
+            # (reference: mac_cell.py:142-181)
+            sel = control if feed_prev_att else cont_control
+            pre = _dot(sel, wcc_ref[...]).astype(dtype) + ciproj_ref[t]
+            cc = _act(pre, cont_act)
+            # the act-layer second linear of the contControl projection
+            # (reference: ops.py:325-328)
+            if cont_act != "NON":
+                cc = (_dot(cc, wcc2_ref[...])
+                      + bcc2_ref[...]).astype(dtype)
+            u = cc * wq[None, :]
+            qlog = (jnp.sum(words * u[:, None, :], axis=-1)
+                    .astype(jnp.float32) + bq + wmask)
+            qatt = _softmax_f32(qlog).astype(dtype)
+            new_control = jnp.sum(qatt[:, :, None] * words, axis=1)
+
+            new_mem = _read_write_step(
+                relu_kind, S_real, kb, kbp, kbw1b, memory, new_control,
+                wmem_ref, bmem_ref, w1a_ref, w2_ref, b2_ref,
+                wr128, br, w3_ref, b3_ref)
+            if use_gate:
+                z = jax.nn.sigmoid(
+                    (_dot(new_control, wg_ref[...]) + bg_ref[...]
+                     + gate_bias).astype(jnp.float32)).astype(dtype)
+                new_mem = new_mem * z + memory * (1.0 - z)
+            return new_control, cc, new_mem
+
+        init = (ctrl0_ref[...], ctrl0_ref[...], mem0_ref[...])
+        _, _, memory = jax.lax.fori_loop(0, T, step, init)
+        out_ref[...] = memory
+
+    return kernel
+
+
+# --------------------------------------------------------------- dispatcher
 
 def fused_mac_steps(cfg: Config, weights: Dict[str, jnp.ndarray],
-                    kb, kb_proj, words, lengths, control_inputs,
-                    init_control, init_memory,
+                    kb, mem0,
+                    controls=None, gates=None, satt=None,
+                    words=None, wmask=None, ci_proj=None, ctrl0=None,
+                    s_real: Optional[int] = None,
                     batch_tile: int = 8,
                     interpret: Optional[bool] = None) -> jnp.ndarray:
     """Run the full netLength recurrence as one Pallas kernel.
 
-    kb, kb_proj: [B, S, d]; words: [B, L, d]; lengths: [B];
-    control_inputs: [T, B, d]; init_*: [B, d].  Returns final memory [B, d].
+    kb: [B, S, d] (S may be unpadded; padded here); mem0: [B, d].  The
+    hoisted KB projections (projX and the concat-half of the first read
+    matmul) are computed INSIDE the kernel, once per tile, from
+    ``weights`` entries "wpx"/"bpx"/"w1b"/"b1" — the kernel DMAs only kb
+    and skips the HBM round-trip of two more [B, S, d] tensors.
+    Non-feedPrev path: controls [T, B, d], optional
+    gates [T, B, d] (sigmoid applied, gateBias folded), optional satt
+    [T, T, B] f32 (softmaxed self-attention weights over history slots).
+    feedPrev path: words [B, L, d], wmask [B, L] f32 additive,
+    ci_proj [T, B, d], ctrl0 [B, d].  Returns final memory [B, d].
     """
     B, S, d = kb.shape
+    S_real = s_real if s_real is not None else S
     T = cfg.netLength
-    L = words.shape[1]
+    dtype = kb.dtype
 
-    # large batches run as chunks of <=256: per-call VMEM accounting on this
-    # toolchain grows with the total array sizes and overflows past that
-    if B > 256 and B % 256 == 0:
-        n = B // 256
-        chunk = lambda x, ax=0: x.reshape((n, 256) + x.shape[1:]) \
-            if ax == 0 else x.reshape(x.shape[:1] + (n, 256) + x.shape[2:])
-        ci = control_inputs.reshape(T, n, 256, -1).transpose(1, 0, 2, 3)
-        outs = jax.lax.map(
-            lambda args: fused_mac_steps(
-                cfg, weights, args[0], args[1], args[2], args[3],
-                args[4].transpose(1, 0, 2), args[5], args[6],
-                batch_tile=batch_tile, interpret=interpret),
-            (chunk(kb), chunk(kb_proj), chunk(words), chunk(lengths),
-             ci, chunk(init_control), chunk(init_memory)))
-        return outs.reshape(B, d)
+    # very large batches run as unrolled chunks (one pallas_call each, the
+    # same compiled program reused; lax.map over a pallas_call trips the
+    # remote-compile toolchain, so a plain Python loop it is)
+    if B > _MAX_CALL_BATCH and B % _MAX_CALL_BATCH == 0:
+        c = _MAX_CALL_BATCH
+        axes = dict(kb=0, mem0=0, controls=1, gates=1,
+                    satt=2, words=0, wmask=0, ci_proj=1, ctrl0=0)
+        args = dict(kb=kb, mem0=mem0,
+                    controls=controls, gates=gates, satt=satt, words=words,
+                    wmask=wmask, ci_proj=ci_proj, ctrl0=ctrl0)
+        def sl(x, axis, i):
+            if x is None:
+                return None
+            idx = [slice(None)] * x.ndim
+            idx[axis] = slice(i * c, (i + 1) * c)
+            return x[tuple(idx)]
+        outs = []
+        for i in range(B // c):
+            part = {k: sl(v, axes[k], i) for k, v in args.items()}
+            kw = {k: part[k] for k in
+                  ("controls", "gates", "satt", "words", "wmask",
+                   "ci_proj", "ctrl0")}
+            outs.append(fused_mac_steps(
+                cfg, weights, part["kb"],
+                part["mem0"], s_real=S_real, batch_tile=batch_tile,
+                interpret=interpret, **kw))
+        return jnp.concatenate(outs, axis=0)
 
     Bt = batch_tile
     while B % Bt:
@@ -199,73 +408,108 @@ def fused_mac_steps(cfg: Config, weights: Dict[str, jnp.ndarray],
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    mask = jnp.where(jnp.arange(L)[None, :] < lengths[:, None],
-                     0.0, NEG_INF).astype(jnp.float32)          # [B, L]
+    # pad the KB axis to the sublane tile so the per-step
+    # [Bt, S, d] <-> [Bt*S, d] reshapes are layout-trivial
+    Sp = _round_up(S, _sublane(dtype))
+    if Sp != S:
+        kb = jnp.pad(kb, ((0, 0), (0, Sp - S), (0, 0)))
 
-    dtype = kb.dtype
     w = {k: v.astype(dtype) for k, v in weights.items()
          if k not in ("bq", "br")}
-    bq = weights["bq"].reshape(1, 1).astype(jnp.float32)
     br = weights["br"].reshape(1, 1).astype(jnp.float32)
+    # read-logits vector weight broadcast across an MXU lane tile
+    wr128 = jnp.broadcast_to(w["wr"][:, None], (d, 128))
 
+    feed_prev = cfg.controlFeedPrev
     use_gate = cfg.writeGate
-    wg = w.get("wg", jnp.zeros((d, 1), dtype))
-    bg = w.get("bg", jnp.zeros((1,), dtype))
-
-    kernel = functools.partial(
-        _mac_kernel, T, cfg.relu, use_gate, cfg.writeGateShared,
-        float(cfg.writeGateBias))
+    use_satt = (satt is not None)
 
     tile = lambda *shape: pl.BlockSpec(
         shape, lambda i: (i,) + (0,) * (len(shape) - 1),
         memory_space=pltpu.VMEM)
+    step_tile = lambda *shape: pl.BlockSpec(
+        shape, lambda i: (0, i) + (0,) * (len(shape) - 2),
+        memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = lambda: pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)
 
-    grid_spec = pl.GridSpec(
-        grid=(B // Bt,),
-        in_specs=[
-            tile(Bt, S, d),                                    # kb
-            tile(Bt, S, d),                                    # kb_proj
-            tile(Bt, L, d),                                    # words
-            tile(Bt, L),                                       # mask
-            pl.BlockSpec((T, Bt, d), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),             # control_inputs
-            tile(Bt, d),                                       # ctrl0
-            tile(Bt, d),                                       # mem0
-            full(), pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # wq, bq
-            full(), full(),                                    # wmem, bmem
-            full(), full(), full(), full(), full(),            # w1a w1b b1 w2 b2
-            full(), pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # wr, br
-            full(), full(), full(),                            # w3m w3i b3
-            full(), full(),                                    # wg bg
-        ],
-        out_specs=tile(Bt, d),
-    )
+    in_specs = [tile(Bt, Sp, d)]
+    inputs = [kb]
+    scratch_shapes = []
 
-    flops_per_tile = T * (Bt * S * d * d * 2 * 2 + Bt * d * d * 2 * 3)
-    # "arbitrary" grid semantics: no input double-buffering — each tile runs
-    # all T reasoning steps, so compute dwarfs the DMA and the saved ~3.5MB
-    # of VMEM keeps larger batch tiles under the 16MB budget
+    if not feed_prev:
+        kernel_fn = _build_hoisted_kernel(T, cfg.relu, S_real, use_gate,
+                                          use_satt)
+        in_specs.append(step_tile(T, Bt, d))
+        inputs.append(controls.astype(dtype))
+        if use_gate:
+            in_specs.append(step_tile(T, Bt, d))
+            inputs.append(gates.astype(dtype))
+        if use_satt:
+            in_specs.append(pl.BlockSpec((T, T, Bt), lambda i: (0, 0, i),
+                                         memory_space=pltpu.VMEM))
+            inputs.append(satt.astype(jnp.float32))
+            scratch_shapes.append(pltpu.VMEM((T + 1, Bt, d), dtype))
+        in_specs.append(tile(Bt, d))
+        inputs.append(mem0)
+        for key in ("wpx", "bpx", "w1b", "b1",
+                    "wmem", "bmem", "w1a", "w2", "b2"):
+            in_specs.append(full())
+            inputs.append(w[key])
+        in_specs += [full(), smem(), full(), full()]
+        inputs += [wr128, br, w["w3"], w["b3"]]
+    else:
+        L = words.shape[1]
+        kernel_fn = _build_feedprev_kernel(
+            T, cfg.relu, S_real, use_gate, cfg.controlFeedPrevAtt,
+            cfg.controlContAct, float(cfg.writeGateBias))
+        in_specs += [tile(Bt, L, d), tile(Bt, L),
+                     step_tile(T, Bt, d), tile(Bt, d), tile(Bt, d)]
+        inputs += [words.astype(dtype), wmask.astype(jnp.float32),
+                   ci_proj.astype(dtype), ctrl0.astype(dtype), mem0]
+        for key in ("wpx", "bpx", "w1b", "b1"):
+            in_specs.append(full())
+            inputs.append(w[key])
+        for key in ("wcc", "wcc2", "bcc2"):
+            in_specs.append(full())
+            inputs.append(w.get(key, jnp.zeros((1,), dtype)))
+        in_specs += [full(), smem()]
+        inputs += [w["wq"], weights["bq"].reshape(1, 1).astype(jnp.float32)]
+        for key in ("wmem", "bmem", "w1a", "w2", "b2"):
+            in_specs.append(full())
+            inputs.append(w[key])
+        in_specs += [full(), smem(), full(), full()]
+        inputs += [wr128, br, w["w3"], w["b3"]]
+        if use_gate:
+            in_specs += [full(), full()]
+            inputs += [w["wg"], w["bg"]]
+
+    flops_per_tile = (T * (Bt * Sp * d * d * 2 * 2 + Bt * d * d * 2 * 3)
+                      + Bt * Sp * d * d * 2 * 2)   # + in-kernel projections
+    # "arbitrary" grid semantics (each tile runs all T reasoning steps, so
+    # there is nothing to pipeline across grid cells) + a raised VMEM
+    # budget: the compiler's default 16MB *scoped* limit is far below the
+    # physical VMEM on v5e, and the KB tile (plus its two in-kernel
+    # projections) kept resident across the T steps is the whole point
     compiler_params = None
     if not interpret:
         compiler_params = pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",))
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024)
     out = pl.pallas_call(
-        kernel,
+        kernel_fn,
         out_shape=jax.ShapeDtypeStruct((B, d), dtype),
-        grid_spec=grid_spec,
+        grid=(B // Bt,),
+        in_specs=in_specs,
+        out_specs=tile(Bt, d),
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
         compiler_params=compiler_params,
         cost_estimate=pl.CostEstimate(
             flops=flops_per_tile * (B // Bt),
-            bytes_accessed=B * S * d * 2 * 2,
-            transcendentals=T * B * (S + L)),
-    )(kb, kb_proj, words, mask, control_inputs,
-      init_control, init_memory,
-      w["wq"], bq, w["wmem"], w["bmem"],
-      w["w1a"], w["w1b"], w["b1"], w["w2"], w["b2"],
-      w["wr"], br, w["w3m"], w["w3i"], w["b3"],
-      wg, bg)
+            bytes_accessed=B * Sp * d * 2,
+            transcendentals=T * B * Sp),
+    )(*inputs)
     return out
 
 
@@ -283,6 +527,8 @@ def extract_mac_weights(cfg: Config, params: Dict[str, Any]) -> Dict[str, jnp.nd
     out = {
         "wq": cell["control"]["inter2logits"]["logits"]["weight"],
         "bq": cell["control"]["inter2logits"]["logits"]["bias"],
+        "wpx": read["projX"]["weight"],
+        "bpx": read["projX"]["bias"],
         "wmem": read["projY"]["weight"],
         "bmem": read["projY"]["bias"],
         "w1a": w1[:d], "w1b": w1[d:], "b1": read["memKbProj"]["bias"],
@@ -290,8 +536,7 @@ def extract_mac_weights(cfg: Config, params: Dict[str, Any]) -> Dict[str, jnp.nd
         "b2": read["memKbProj"]["linear_2"]["bias"],
         "wr": read["inter2logits"]["logits"]["weight"],
         "br": read["inter2logits"]["logits"]["bias"],
-        "w3m": cell["write"]["newMemory"]["weight"][:d],
-        "w3i": cell["write"]["newMemory"]["weight"][d:],
+        "w3": cell["write"]["newMemory"]["weight"],   # [2d or 3d, d]
         "b3": cell["write"]["newMemory"]["bias"],
     }
     if cfg.writeGate:
@@ -302,12 +547,26 @@ def extract_mac_weights(cfg: Config, params: Dict[str, Any]) -> Dict[str, jnp.nd
             gb = gb.reshape(1)
         out["wg"] = gw
         out["bg"] = gb
+    if cfg.writeSelfAtt:
+        out["w_sa"] = cell["write"]["selfAttention"]["logits"]["weight"]
+        out["b_sa"] = cell["write"]["selfAttention"]["logits"]["bias"]
+        out["w_cp"] = cell["write"]["ctrlProj"]["weight"]
+        out["b_cp"] = cell["write"]["ctrlProj"]["bias"]
+    if cfg.controlFeedPrev:
+        cc = cell["control"]["contControl"]
+        out["wcc_full"] = cc["weight"]
+        out["bcc"] = cc["bias"]
+        if cfg.controlContAct != "NON":
+            out["wcc2"] = cc["linear_2"]["weight"]
+            out["bcc2"] = cc["linear_2"]["bias"]
     return out
 
 
 class FusedMACEngine:
-    """Serving-path forward: XLA for embeddings/encoder/stem/output, the
-    fused Pallas kernel for the netLength recurrence.
+    """Serving-path forward: XLA for embeddings/encoder/stem/output — plus
+    everything loop-independent in the recurrence (all controls, write
+    gates, self-attention weights, the hoisted KB projections) — and the
+    fused Pallas kernel for the sequential memory chain.
 
     Produces logits identical (within bf16 tolerance) to
     ``MACNetwork.apply(train=False)`` for supported configs.
@@ -331,6 +590,8 @@ class FusedMACEngine:
         params = variables["params"]
         dtype = jnp.bfloat16 if cfg.computeDtype == "bfloat16" else jnp.float32
         images = images.astype(dtype)
+        T = cfg.netLength
+        d = cfg.memDim
 
         words_emb, cntx, vec_q, a_emb = self.encoder.apply(
             {"params": params["qEmbeddings"]}, question_ids, lengths,
@@ -339,19 +600,25 @@ class FusedMACEngine:
 
         mac = params["mac"]
         B = vec_q.shape[0]
+        weights = extract_mac_weights(cfg, params)
 
         # per-step control inputs: qInput -> act -> per-step projection
         # (mirrors MACRecurrence; reference mac_cell.py:442-448)
         shared = _apply_linear(vec_q, mac["qInput"])
-        shared = jnp.tanh(shared) if cfg.controlInputAct == "TANH" else (
-            _act(shared, cfg.relu) if cfg.controlInputAct == "RELU" else shared)
+        if cfg.controlInputAct == "TANH":
+            shared = jnp.tanh(shared)
+        elif cfg.controlInputAct == "RELU":
+            shared = _act(shared, cfg.relu)
         cis = []
-        for i in range(cfg.netLength):
+        for i in range(T):
             key = f"qInput{i}" if cfg.controlInputUnshared else "qInputU"
             cis.append(_apply_linear(shared, mac[key]))
-        control_inputs = jnp.stack(cis, axis=0)
+        ci = jnp.stack(cis, axis=0)                      # [T, B, d]
 
         words = cntx if cfg.controlContextual else words_emb
+        L = words.shape[1]
+        wmask = jnp.where(jnp.arange(L)[None, :] < lengths[:, None],
+                          0.0, NEG_INF).astype(jnp.float32)      # [B, L]
 
         # init states (reference: mac_cell.py:496-505)
         def init_state(kind, prm_key, dim):
@@ -364,12 +631,78 @@ class FusedMACEngine:
         ctrl0 = init_state(cfg.initCtrl, "initCtrl", cfg.ctrlDim)
         mem0 = init_state(cfg.initMem, "initMem", cfg.memDim)
 
-        kb_proj = _apply_linear(kb, mac["cell"]["read"]["projX"])
-        weights = extract_mac_weights(cfg, params)
+        # the hoisted KB projections (which the reference re-does every
+        # step) are computed INSIDE the kernel from wpx/bpx/w1b/b1 — the
+        # glue neither computes nor round-trips them through HBM
+        kwargs: Dict[str, Any] = {}
+        if cfg.controlFeedPrev:
+            # the ci half of the contControl projection is step-local:
+            # concat(sel, ci) @ Wcc == sel @ Wcc[:d] + (ci @ Wcc[d:] + bcc)
+            wcc_full = weights["wcc_full"].astype(dtype)
+            bcc = weights["bcc"].astype(dtype)
+            if cfg.controlFeedInputs:
+                ci_proj = jnp.dot(ci, wcc_full[d:],
+                                  preferred_element_type=jnp.float32
+                                  ).astype(dtype) + bcc
+            else:
+                ci_proj = jnp.broadcast_to(bcc[None, None], (T, B, d))
+            weights = dict(weights)
+            weights["wcc"] = wcc_full[:d]
+            if cfg.controlContAct == "NON":
+                weights.setdefault("wcc2", jnp.zeros((d, d), jnp.float32))
+                weights.setdefault("bcc2", jnp.zeros((d,), jnp.float32))
+            kwargs.update(words=words, wmask=wmask, ci_proj=ci_proj,
+                          ctrl0=ctrl0)
+        else:
+            # ---- hoist the ENTIRE control unit: every step's control is
+            # attention of ci_t over the words — loop-independent
+            # (reference: mac_cell.py:153-181 with no feedPrev merge)
+            wq = weights["wq"].astype(dtype)
+            qlog = jnp.einsum("tbd,bld->tbl", ci * wq[None, None, :], words,
+                              preferred_element_type=jnp.float32)
+            qlog = qlog + weights["bq"].astype(jnp.float32) + wmask[None]
+            qatt = jax.nn.softmax(qlog, axis=-1).astype(dtype)
+            controls = jnp.einsum("tbl,bld->tbd", qatt, words,
+                                  preferred_element_type=jnp.float32
+                                  ).astype(dtype)
+            kwargs["controls"] = controls
+
+            if cfg.writeGate:
+                # gate weights are a function of the step's control only
+                # (reference: mac_cell.py:358-367) — precompute all steps
+                gw = weights["wg"].astype(dtype)
+                gb = weights["bg"].astype(jnp.float32)
+                glog = jnp.dot(controls, gw,
+                               preferred_element_type=jnp.float32)
+                z = jax.nn.sigmoid(glog + gb + cfg.writeGateBias)
+                kwargs["gates"] = jnp.broadcast_to(
+                    z.astype(dtype), (T, B, d))
+
+            if cfg.writeSelfAtt:
+                # self-attention WEIGHTS over the control history are
+                # loop-independent too (reference: mac_cell.py:316-330);
+                # only the weighted sum over previous memories is not
+                sc = ci if cfg.writeSelfAttMod == "CONT" else controls
+                scp = jnp.dot(sc, weights["w_cp"].astype(dtype),
+                              preferred_element_type=jnp.float32
+                              ).astype(dtype) + weights["b_cp"].astype(dtype)
+                hist_c = jnp.concatenate([ctrl0[None], controls[:-1]],
+                                         axis=0)            # [T, B, d] slots
+                w_sa = weights["w_sa"].astype(dtype)
+                slog = jnp.einsum("jbd,tbd->tbj", hist_c,
+                                  scp * w_sa[None, None, :],
+                                  preferred_element_type=jnp.float32)
+                slog = slog + weights["b_sa"].astype(jnp.float32)
+                # step t attends over history slots j <= t
+                step_ids = jnp.arange(T)[:, None, None]
+                slot_ids = jnp.arange(T)[None, None, :]
+                slog = jnp.where(slot_ids <= step_ids, slog, NEG_INF)
+                satt = jax.nn.softmax(slog, axis=-1)         # [T, B, T] f32
+                kwargs["satt"] = jnp.transpose(satt, (0, 2, 1))  # [T, T, B]
 
         final_memory = fused_mac_steps(
-            cfg, weights, kb, kb_proj, words, lengths, control_inputs,
-            ctrl0, mem0, batch_tile=self.batch_tile, interpret=interpret)
+            cfg, weights, kb, mem0,
+            batch_tile=self.batch_tile, interpret=interpret, **kwargs)
 
         features = self.output.apply({"params": params["output"]},
                                      final_memory, vec_q, images, train=False)

@@ -16,9 +16,15 @@ TF-semantics parity:
     ops.py:806-810): one input mask and one state mask per batch, reused at
     every time step; the state mask applies to the hidden output h only.
 
-TPU notes: each scan step is a single [B, in+h] x [in+h, 4h] MXU matmul;
-params are broadcast across the scan (compiled once).  Question lengths are
-<= ~45, so the scan is short; bucketed static shapes avoid recompiles.
+TPU notes: the input half of every cell's projections is **hoisted out of
+the scan** — ``precompute`` runs ``x @ W_x`` for all L time steps as one
+large MXU matmul at full utilization, so the sequential scan body only
+contains the genuinely recurrent ``h @ W_h`` half (K drops from in+h to h
+per step; the math is identical because the TF cells' single concat kernel
+``[x, h] @ W`` distributes as ``x @ W[:in] + h @ W[in:]``).  Parameter
+names and shapes keep the TF concat layout ([(in+h), gates]) so checkpoints
+and the TF1 importer are unaffected.  Question lengths are <= ~45, so the
+scan is short; bucketed static shapes avoid recompiles.
 
 Deviations (documented): the reference's grid-RNN path (ops.py:956-1000)
 is non-functional dead code — ``multigridRNNLayer`` returns an undefined
@@ -49,32 +55,61 @@ def _cell_act(kind: Optional[str], cfg: Config):
     return lambda x: apply_act_fn(kind, x, cfg)
 
 
-def _dense(mod, name, x, out_dim, bias_init=None):
-    """Plain matmul param helper for cells (f32 params, x-dtype compute)."""
-    w = mod.param(name + "_w", nn.initializers.glorot_uniform(),
-                  (x.shape[-1], out_dim), jnp.float32)
-    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32
-                ).astype(x.dtype)
-    if bias_init is not None:
-        b = mod.param(name + "_b", nn.initializers.constant(bias_init),
-                      (out_dim,), jnp.float32)
-        y = y + b.astype(x.dtype)
-    return y
+def _mm(x, w):
+    """f32-accumulated matmul in the input dtype (params are f32)."""
+    return jnp.dot(x, w.astype(x.dtype),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-class LSTMCell(nn.Module):
+class _CellBase(nn.Module):
+    """Shared scaffolding: every cell declares its parameters in ``setup``
+    (so ``precompute`` and ``step`` can share them), exposes
+
+      * ``precompute(x)``  — the input-projection half, batched over any
+        leading axes (one big MXU matmul when x is [B, L, D]);
+      * ``step(carry, pre)`` — the sequential half;
+      * ``__call__(carry, x)`` — single-step compatibility wrapper.
+
+    ``in_dim`` must be set whenever the module is actually bound (params
+    depend on it); the default -1 supports unbound helper calls like
+    ``initial_carry``.
+    """
+
+    def _check_in_dim(self):
+        if self.in_dim < 0:
+            raise ValueError(
+                f"{type(self).__name__} needs in_dim= to create parameters "
+                "(pass it via make_cell)")
+
+    def __call__(self, carry, x):
+        return self.step(carry, self.precompute(x))
+
+
+class LSTMCell(_CellBase):
     """TF BasicLSTMCell semantics (reference uses it via ops.py:765)."""
     features: int
+    in_dim: int = -1
     forget_bias: float = 1.0
     act: Optional[str] = None
     cfg: Optional[Config] = None
 
-    @nn.compact
-    def __call__(self, carry, x):
+    def setup(self):
+        self._check_in_dim()
+        self.kernel_w = self.param(
+            "kernel_w", nn.initializers.glorot_uniform(),
+            (self.in_dim + self.features, 4 * self.features), jnp.float32)
+        self.kernel_b = self.param(
+            "kernel_b", nn.initializers.constant(0.0),
+            (4 * self.features,), jnp.float32)
+
+    def precompute(self, x):
+        return _mm(x, self.kernel_w[:self.in_dim]) + self.kernel_b.astype(
+            x.dtype)
+
+    def step(self, carry, pre):
         c, h = carry
         act = _cell_act(self.act, self.cfg)
-        z = _dense(self, "kernel", jnp.concatenate([x, h], -1),
-                   4 * self.features, bias_init=0.0)
+        z = pre + _mm(h, self.kernel_w[self.in_dim:])
         i, j, f, o = jnp.split(z, 4, axis=-1)
         new_c = (c * jax.nn.sigmoid(f + self.forget_bias)
                  + jax.nn.sigmoid(i) * act(j))
@@ -86,22 +121,40 @@ class LSTMCell(nn.Module):
         return (z, z)
 
 
-class GRUCell(nn.Module):
+class GRUCell(_CellBase):
     """TF GRUCell semantics (gate bias init 1.0)."""
     features: int
+    in_dim: int = -1
     act: Optional[str] = None
     cfg: Optional[Config] = None
 
-    @nn.compact
-    def __call__(self, carry, x):
+    def setup(self):
+        self._check_in_dim()
+        d, D = self.features, self.in_dim
+        self.gates_w = self.param("gates_w", nn.initializers.glorot_uniform(),
+                                  (D + d, 2 * d), jnp.float32)
+        self.gates_b = self.param("gates_b", nn.initializers.constant(1.0),
+                                  (2 * d,), jnp.float32)
+        self.candidate_w = self.param(
+            "candidate_w", nn.initializers.glorot_uniform(), (D + d, d),
+            jnp.float32)
+        self.candidate_b = self.param(
+            "candidate_b", nn.initializers.constant(0.0), (d,), jnp.float32)
+
+    def precompute(self, x):
+        D = self.in_dim
+        gx = _mm(x, self.gates_w[:D]) + self.gates_b.astype(x.dtype)
+        cx = _mm(x, self.candidate_w[:D]) + self.candidate_b.astype(x.dtype)
+        return gx, cx
+
+    def step(self, carry, pre):
         h = carry
+        gx, cx = pre
         act = _cell_act(self.act, self.cfg)
-        xh = jnp.concatenate([x, h], -1)
-        gates = jax.nn.sigmoid(_dense(self, "gates", xh, 2 * self.features,
-                                      bias_init=1.0))
+        D = self.in_dim
+        gates = jax.nn.sigmoid(gx + _mm(h, self.gates_w[D:]))
         r, u = jnp.split(gates, 2, axis=-1)
-        c = act(_dense(self, "candidate", jnp.concatenate([x, r * h], -1),
-                       self.features, bias_init=0.0))
+        c = act(cx + _mm(r * h, self.candidate_w[D:]))
         new_h = u * h + (1.0 - u) * c
         return new_h, new_h
 
@@ -109,55 +162,96 @@ class GRUCell(nn.Module):
         return jnp.zeros((batch, self.features), dtype)
 
 
-class BasicRNNCell(nn.Module):
+class BasicRNNCell(_CellBase):
     """TF BasicRNNCell semantics."""
     features: int
+    in_dim: int = -1
     act: Optional[str] = None
     cfg: Optional[Config] = None
 
-    @nn.compact
-    def __call__(self, carry, x):
+    def setup(self):
+        self._check_in_dim()
+        self.kernel_w = self.param(
+            "kernel_w", nn.initializers.glorot_uniform(),
+            (self.in_dim + self.features, self.features), jnp.float32)
+        self.kernel_b = self.param("kernel_b", nn.initializers.constant(0.0),
+                                   (self.features,), jnp.float32)
+
+    def precompute(self, x):
+        return _mm(x, self.kernel_w[:self.in_dim]) + self.kernel_b.astype(
+            x.dtype)
+
+    def step(self, carry, pre):
         h = carry
         act = _cell_act(self.act, self.cfg)
-        new_h = act(_dense(self, "kernel", jnp.concatenate([x, h], -1),
-                           self.features, bias_init=0.0))
+        new_h = act(pre + _mm(h, self.kernel_w[self.in_dim:]))
         return new_h, new_h
 
     def initial_carry(self, batch, dtype):
         return jnp.zeros((batch, self.features), dtype)
 
 
-class _MiMixin:
+class _MiBase(_CellBase):
     """Multiplicative-integration combine:
-    beta1*Wx + beta2*Uh + beta3*(Wx*Uh) + b (reference: mi_gru_cell.py:26-37)."""
+    beta1*Wx + beta2*Uh + beta3*(Wx*Uh) + b (reference: mi_gru_cell.py:26-37).
+    Per-gate x-side kernels (Wx*) are stored separately (importer contract)
+    but applied as one concatenated matmul in ``precompute``."""
 
-    def _mi(self, name, wx, uh, dim, b_initial=0.0):
-        b = self.param(f"{name}_bias", nn.initializers.zeros, (dim,),
-                       jnp.float32).astype(wx.dtype) + jnp.asarray(
-                           b_initial, wx.dtype)
-        beta = self.param(f"{name}_beta", nn.initializers.ones, (3 * dim,),
-                          jnp.float32).astype(wx.dtype)
+    def _declare_gate(self, name: str):
+        d = self.features
+        setattr(self, f"_{name}_bias",
+                self.param(f"{name}_bias", nn.initializers.zeros, (d,),
+                           jnp.float32))
+        setattr(self, f"_{name}_beta",
+                self.param(f"{name}_beta", nn.initializers.ones, (3 * d,),
+                           jnp.float32))
+
+    def _declare_w(self, name: str, in_dim: int):
+        setattr(self, f"_{name}_w",
+                self.param(f"{name}_w", nn.initializers.glorot_uniform(),
+                           (in_dim, self.features), jnp.float32))
+
+    def _mi(self, name, wx, uh, b_initial: float = 0.0):
+        b = (getattr(self, f"_{name}_bias").astype(wx.dtype)
+             + jnp.asarray(b_initial, wx.dtype))
+        beta = getattr(self, f"_{name}_beta").astype(wx.dtype)
         b1, b2, b3 = jnp.split(beta, 3)
         return b1 * wx + b2 * uh + b3 * (wx * uh) + b
 
+    def _wx_all(self, x, names):
+        """One concatenated x-projection matmul for all gates."""
+        w = jnp.concatenate([getattr(self, f"_{n}_w") for n in names],
+                            axis=1)
+        return jnp.split(_mm(x, w), len(names), axis=-1)
 
-class MiGRUCell(nn.Module, _MiMixin):
+
+class MiGRUCell(_MiBase):
     """Multiplicative-integration GRU (reference: mi_gru_cell.py:4-63)."""
     features: int
+    in_dim: int = -1
     act: Optional[str] = None
     cfg: Optional[Config] = None
 
-    @nn.compact
-    def __call__(self, carry, x):
+    def setup(self):
+        self._check_in_dim()
+        for n in ("Wxr", "Wxu", "Wxl"):
+            self._declare_w(n, self.in_dim)
+        for n in ("Uhr", "Uhu", "Uhl"):
+            self._declare_w(n, self.features)
+        self._declare_gate("r")
+        self._declare_gate("u")
+        self._declare_gate("c")
+
+    def precompute(self, x):
+        return tuple(self._wx_all(x, ("Wxr", "Wxu", "Wxl")))
+
+    def step(self, carry, pre):
         h = carry
         act = _cell_act(self.act, self.cfg)
-        d = self.features
-        r = jax.nn.sigmoid(self._mi("r", _dense(self, "Wxr", x, d),
-                                    _dense(self, "Uhr", h, d), d, 1.0))
-        u = jax.nn.sigmoid(self._mi("u", _dense(self, "Wxu", x, d),
-                                    _dense(self, "Uhu", h, d), d, 1.0))
-        c = act(self._mi("c", _dense(self, "Wxl", x, d),
-                         _dense(self, "Uhl", r * h, d), d))
+        wxr, wxu, wxl = pre
+        r = jax.nn.sigmoid(self._mi("r", wxr, _mm(h, self._Uhr_w), 1.0))
+        u = jax.nn.sigmoid(self._mi("u", wxu, _mm(h, self._Uhu_w), 1.0))
+        c = act(self._mi("c", wxl, _mm(r * h, self._Uhl_w)))
         new_h = u * h + (1.0 - u) * c
         return new_h, new_h
 
@@ -165,23 +259,36 @@ class MiGRUCell(nn.Module, _MiMixin):
         return jnp.zeros((batch, self.features), dtype)
 
 
-class MiLSTMCell(nn.Module, _MiMixin):
+class MiLSTMCell(_MiBase):
     """Multiplicative-integration LSTM (reference: mi_lstm_cell.py:4-76)."""
     features: int
+    in_dim: int = -1
     forget_bias: float = 1.0
     act: Optional[str] = None
     cfg: Optional[Config] = None
 
-    @nn.compact
-    def __call__(self, carry, x):
+    def setup(self):
+        self._check_in_dim()
+        for n in ("Wxi", "Wxj", "Wxf", "Wxo"):
+            self._declare_w(n, self.in_dim)
+        for n in ("Uhi", "Uhj", "Uhf", "Uho"):
+            self._declare_w(n, self.features)
+        for n in ("i", "j", "f", "o"):
+            self._declare_gate(n)
+
+    def precompute(self, x):
+        return tuple(self._wx_all(x, ("Wxi", "Wxj", "Wxf", "Wxo")))
+
+    def step(self, carry, pre):
         c, h = carry
         act = _cell_act(self.act, self.cfg)
-        d = self.features
-        i = self._mi("i", _dense(self, "Wxi", x, d), _dense(self, "Uhi", h, d), d)
-        j = self._mi("j", _dense(self, "Wxj", x, d), _dense(self, "Uhj", h, d), d)
-        f = self._mi("f", _dense(self, "Wxf", x, d), _dense(self, "Uhf", h, d), d)
-        o = self._mi("o", _dense(self, "Wxo", x, d), _dense(self, "Uho", h, d), d)
-        new_c = c * jax.nn.sigmoid(f + self.forget_bias) + jax.nn.sigmoid(i) * act(j)
+        wxi, wxj, wxf, wxo = pre
+        i = self._mi("i", wxi, _mm(h, self._Uhi_w))
+        j = self._mi("j", wxj, _mm(h, self._Uhj_w))
+        f = self._mi("f", wxf, _mm(h, self._Uhf_w))
+        o = self._mi("o", wxo, _mm(h, self._Uho_w))
+        new_c = (c * jax.nn.sigmoid(f + self.forget_bias)
+                 + jax.nn.sigmoid(i) * act(j))
         new_h = act(new_c) * jax.nn.sigmoid(o)
         return (new_c, new_h), new_h
 
@@ -190,26 +297,43 @@ class MiLSTMCell(nn.Module, _MiMixin):
         return (z, z)
 
 
-class ProjLSTMCell(nn.Module):
+class ProjLSTMCell(_CellBase):
     """LSTM with a learned projection of the hidden state (TF LSTMCell
     num_proj; reference createCell 'ProjLSTM' branch, ops.py:755-760)."""
     features: int
+    in_dim: int = -1
     proj_dim: Optional[int] = None
     forget_bias: float = 1.0
     act: Optional[str] = None
     cfg: Optional[Config] = None
 
-    @nn.compact
-    def __call__(self, carry, x):
+    def setup(self):
+        self._check_in_dim()
+        proj = self.proj_dim or self.features
+        # state h is the projected state (TF num_proj), so the recurrent
+        # half of the kernel has K = proj
+        self.kernel_w = self.param(
+            "kernel_w", nn.initializers.glorot_uniform(),
+            (self.in_dim + proj, 4 * self.features), jnp.float32)
+        self.kernel_b = self.param(
+            "kernel_b", nn.initializers.constant(0.0),
+            (4 * self.features,), jnp.float32)
+        self.proj_w = self.param(
+            "proj_w", nn.initializers.glorot_uniform(),
+            (self.features, proj), jnp.float32)
+
+    def precompute(self, x):
+        return _mm(x, self.kernel_w[:self.in_dim]) + self.kernel_b.astype(
+            x.dtype)
+
+    def step(self, carry, pre):
         c, h = carry
         act = _cell_act(self.act, self.cfg)
-        proj = self.proj_dim or self.features
-        z = _dense(self, "kernel", jnp.concatenate([x, h], -1),
-                   4 * self.features, bias_init=0.0)
+        z = pre + _mm(h, self.kernel_w[self.in_dim:])
         i, j, f, o = jnp.split(z, 4, axis=-1)
         new_c = (c * jax.nn.sigmoid(f + self.forget_bias)
                  + jax.nn.sigmoid(i) * act(j))
-        new_h = _dense(self, "proj", act(new_c) * jax.nn.sigmoid(o), proj)
+        new_h = _mm(act(new_c) * jax.nn.sigmoid(o), self.proj_w)
         return (new_c, new_h), new_h
 
     def initial_carry(self, batch, dtype):
@@ -229,10 +353,23 @@ CELL_TYPES = {
 
 
 def make_cell(cell_type: str, features: int, cfg: Config,
-              act: Optional[str] = None, name: Optional[str] = None):
+              act: Optional[str] = None, name: Optional[str] = None,
+              in_dim: int = -1):
     """Cell factory (reference: ops.py:749-772)."""
     cls = CELL_TYPES[cell_type]
-    return cls(features=features, act=act, cfg=cfg, name=name)
+    return cls(features=features, in_dim=in_dim, act=act, cfg=cfg, name=name)
+
+
+def initial_carry(cell_type: str, features: int, batch: int, dtype,
+                  proj_dim: Optional[int] = None):
+    """Zero state for a cell type, without instantiating the module (module
+    creation inside a compact parent would bind it and demand in_dim)."""
+    z = jnp.zeros((batch, features), dtype)
+    if cell_type in ("LSTM", "MiLSTM"):
+        return (z, z)
+    if cell_type == "ProjLSTM":
+        return (z, jnp.zeros((batch, proj_dim or features), dtype))
+    return z
 
 
 def reverse_sequence(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
@@ -246,23 +383,29 @@ def reverse_sequence(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
 
 
 class _MaskedStep(nn.Module):
-    """One masked scan step: run the cell, freeze state and zero output past
-    the sequence length; apply (optional) variational dropout masks."""
+    """The scanned recurrence body: run the cell's sequential half on the
+    precomputed input projections, freeze state and zero output past the
+    sequence length; apply (optional) variational state dropout.
+
+    ``precompute`` is NOT scanned (nn.scan methods=["step"]) — it runs the
+    batched input-projection matmul once for all L steps."""
     cell_type: str
     features: int
     cfg: Config
+    in_dim: int
     act: Optional[str] = None
-    state_keep: float = 1.0
 
-    @nn.compact
-    def __call__(self, carry, inp):
-        x, valid = inp                       # x: [B, D]; valid: [B, 1] bool
-        state, in_mask, st_mask = carry
-        if in_mask is not None:
-            x = x * in_mask.astype(x.dtype)
-        cell = make_cell(self.cell_type, self.features, self.cfg, self.act,
-                         name="cell")
-        new_state, out = cell(state, x)
+    def setup(self):
+        self.cell = make_cell(self.cell_type, self.features, self.cfg,
+                              self.act, in_dim=self.in_dim, name="cell")
+
+    def precompute(self, xs):
+        return self.cell.precompute(xs)
+
+    def step(self, carry, inp):
+        pre, valid = inp                     # pre: pytree [B, ...]; [B, 1]
+        state, st_mask = carry
+        new_state, out = self.cell.step(state, pre)
         if st_mask is not None:
             # state dropout applies to h only (TF DropoutWrapper filter)
             if isinstance(new_state, tuple):
@@ -275,7 +418,7 @@ class _MaskedStep(nn.Module):
         sel = lambda n, o: jnp.where(valid, n, o)
         new_state = jax.tree.map(sel, new_state, state)
         out = jnp.where(valid, out, jnp.zeros_like(out))
-        return (new_state, in_mask, st_mask), out
+        return (new_state, st_mask), out
 
 
 class _UniRNN(nn.Module):
@@ -310,6 +453,10 @@ class _UniRNN(nn.Module):
         elif self.dropout < 1.0:
             xs = nn.Dropout(rate=1.0 - self.dropout,
                             deterministic=not train)(xs)
+        if in_mask is not None:
+            # variational input mask is constant over time and multiplies x
+            # before a linear map, so applying it pre-hoist is exact
+            xs = xs * in_mask.astype(xs.dtype)[:, None, :]
 
         valid = (jnp.arange(L)[None, :] < lengths[:, None])[..., None]  # [B,L,1]
 
@@ -317,13 +464,13 @@ class _UniRNN(nn.Module):
             _MaskedStep,
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
-            in_axes=1, out_axes=1)
-        step = scan(self.cell_type, self.features, self.cfg, self.act,
-                    name="scan")
-        cell = CELL_TYPES[self.cell_type](features=self.features)
-        init = cell.initial_carry(B, xs.dtype)
-        (final_state, _, _), outs = step((init, in_mask, st_mask),
-                                         (xs, valid))
+            in_axes=1, out_axes=1,
+            methods=["step"])
+        mod = scan(self.cell_type, self.features, self.cfg, D, self.act,
+                   name="scan")
+        pre = mod.precompute(xs)             # one batched matmul over [B, L]
+        init = initial_carry(self.cell_type, self.features, B, xs.dtype)
+        (final_state, _), outs = mod.step((init, st_mask), (pre, valid))
         final_h = final_state[1] if isinstance(final_state, tuple) else final_state
         return outs, final_h
 
@@ -375,7 +522,8 @@ class _GridColStep(nn.Module):
         state_in = Linear(self.features, self.cfg, name="merge")(
             jnp.concatenate([up, left], -1))
         cell = make_cell(self.cfg.stemGridRnnMod, self.features, self.cfg,
-                         self.cfg.stemGridAct, name="cell")
+                         self.cfg.stemGridAct, name="cell",
+                         in_dim=f.shape[-1])
         carry = state_in
         new_carry, _ = cell(carry, f)
         new_h = new_carry[1] if isinstance(new_carry, tuple) else new_carry

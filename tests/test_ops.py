@@ -179,7 +179,7 @@ def test_lstm_vs_manual(cfg):
     from mac_network_tpu.ops.rnn import LSTMCell
     B, D, H = 2, 3, 4
     x = jax.random.normal(jax.random.key(2), (B, D))
-    cell = LSTMCell(features=H)
+    cell = LSTMCell(features=H, in_dim=D)
     c0 = jnp.zeros((B, H)); h0 = jnp.zeros((B, H))
     params = cell.init(jax.random.key(0), (c0, h0), x)
     (c1, h1), out = cell.apply(params, (c0, h0), x)
@@ -279,7 +279,7 @@ def test_seq2seq_helpers():
 def test_proj_lstm_cell(cfg):
     from mac_network_tpu.ops.rnn import ProjLSTMCell
     B, D, H, P = 2, 3, 8, 4
-    cell = ProjLSTMCell(features=H, proj_dim=P)
+    cell = ProjLSTMCell(features=H, proj_dim=P, in_dim=D)
     carry = cell.initial_carry(B, jnp.float32)
     x = jnp.ones((B, D))
     params = cell.init(jax.random.key(0), carry, x)

@@ -61,9 +61,69 @@ def make_model(cfg):
 def test_supports_config():
     assert supports_fused_config(fused_cfg())
     assert supports_fused_config(fused_cfg(writeGate=True))
-    assert not supports_fused_config(fused_cfg(writeSelfAtt=True))
-    assert not supports_fused_config(fused_cfg(controlFeedPrev=True))
+    # v2 envelope: args3 (write self-attention) and args1 (recurrent
+    # control) are supported; their combination is not
+    assert supports_fused_config(fused_cfg(writeSelfAtt=True))
+    assert supports_fused_config(fused_cfg(
+        controlFeedPrev=True, controlFeedPrevAtt=True,
+        controlFeedInputs=True, controlContAct="TANH", initCtrl="PRM",
+        controlInputUnshared=False))
+    assert not supports_fused_config(fused_cfg(
+        controlFeedPrev=True, writeSelfAtt=True))
     assert not supports_fused_config(fused_cfg(readMemProj=False))
+    assert not supports_fused_config(fused_cfg(unsharedCells=True))
+
+
+def test_fused_matches_xla_args1_recurrent_control():
+    """args1 variant: controlFeedPrev + FeedPrevAtt + FeedInputs + TANH
+    contControl, PRM init, shared qInput (configs/args1.txt)."""
+    cfg = fused_cfg(controlFeedPrev=True, controlFeedPrevAtt=True,
+                    controlFeedInputs=True, controlContAct="TANH",
+                    initCtrl="PRM", controlInputUnshared=False)
+    model, emb, variables, qs, lens, imgs = make_model(cfg)
+    expected, _ = model.apply(variables, qs, lens, imgs, train=False)
+    engine = FusedMACEngine(cfg, emb, batch_tile=4)
+    got = engine(variables, qs, lens, imgs, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_matches_xla_args1_no_feedprevatt():
+    """controlFeedPrev with the cont-control carry (FeedPrevAtt off)."""
+    cfg = fused_cfg(controlFeedPrev=True, controlFeedPrevAtt=False,
+                    controlFeedInputs=True, controlContAct="TANH",
+                    initCtrl="PRM", controlInputUnshared=False)
+    model, emb, variables, qs, lens, imgs = make_model(cfg)
+    expected, _ = model.apply(variables, qs, lens, imgs, train=False)
+    engine = FusedMACEngine(cfg, emb, batch_tile=4)
+    got = engine(variables, qs, lens, imgs, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("mod", ["CONT", "NON"])
+def test_fused_matches_xla_args3_self_attention(mod):
+    """args3 variant: write-unit self-attention over the step history
+    (configs/args3.txt uses writeSelfAttMod=CONT)."""
+    cfg = fused_cfg(writeSelfAtt=True, writeSelfAttMod=mod)
+    model, emb, variables, qs, lens, imgs = make_model(cfg)
+    expected, _ = model.apply(variables, qs, lens, imgs, train=False)
+    engine = FusedMACEngine(cfg, emb, batch_tile=4)
+    got = engine(variables, qs, lens, imgs, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_matches_xla_args3_plus_gate():
+    """self-attention and the write gate compose (both hoisted)."""
+    cfg = fused_cfg(writeSelfAtt=True, writeSelfAttMod="CONT",
+                    writeGate=True)
+    model, emb, variables, qs, lens, imgs = make_model(cfg)
+    expected, _ = model.apply(variables, qs, lens, imgs, train=False)
+    engine = FusedMACEngine(cfg, emb, batch_tile=4)
+    got = engine(variables, qs, lens, imgs, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-4, atol=2e-4)
 
 
 @pytest.mark.parametrize("gate", [False, True, "shared"])
