@@ -66,6 +66,10 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:
         pass
+    # hardware PRNG for dropout masks (the default --prngImpl; threefry
+    # costs ~40% of the train step on the per-step masks + their
+    # in-backward rematerialization)
+    jax.config.update("jax_default_prng_impl", "rbg")
 
     cfg = _flagship_cfg(small=False)
     batch = 512   # throughput sweet spot on v5e (24.8k q/s vs 22.8k at 256)

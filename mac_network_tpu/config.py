@@ -257,7 +257,24 @@ class Config:
 
     # =============== TPU-native extensions (new in this framework) ==========
     computeDtype: str = "float32"   # float32 | bfloat16 — activation dtype
+    prngImpl: str = "rbg"           # rbg | threefry — dropout-mask PRNG.
+                                    # rbg lowers to the TPU hardware bit
+                                    # generator; threefry is software (the
+                                    # per-step dropout masks and their
+                                    # in-backward rematerialization then
+                                    # cost ~40% of the train step)
     useScan: bool = False           # lax.scan over reasoning steps (else unroll)
+    readVariationalDropout: bool = False
+                                    # tie the read unit's KB dropout mask
+                                    # across reasoning steps (the reference
+                                    # draws a fresh mask per step,
+                                    # mac_cell.py:219-240 via ops.linear).
+                                    # A tied mask — the same treatment the
+                                    # reference gives memory dropout with
+                                    # memoryVariationalDropout — lets the
+                                    # KB projections hoist out of the
+                                    # recurrence during TRAINING too,
+                                    # cutting ~1/3 of train-step FLOPs.
     usePallas: bool = False         # fused Pallas MAC-step kernel on TPU
     meshData: int = 0               # data-parallel mesh axis size (0 = all devices)
     meshModel: int = 1              # model-parallel mesh axis (vocab-dim sharding)
@@ -423,7 +440,17 @@ _CHOICES = {
     "autoEncMemAct": ["NON", "RELU", "TANH"],
     "autoEncMemLoss": ["CONT", "PROB", "SMRY"],
     "computeDtype": ["float32", "bfloat16"],
+    "prngImpl": ["rbg", "threefry"],
 }
+
+
+def apply_prng_impl(cfg) -> None:
+    """Set JAX's global PRNG implementation from --prngImpl.  Must run
+    before the first jax.random key is created (CLI entry points call it
+    right after parse_args)."""
+    import jax
+    impl = {"threefry": "threefry2x32"}.get(cfg.prngImpl, cfg.prngImpl)
+    jax.config.update("jax_default_prng_impl", impl)
 
 # Fields that are runtime/derived state, not CLI flags.
 _NON_FLAGS = {

@@ -33,7 +33,8 @@ from mac_network_tpu.models.baselines import Baseline
 from mac_network_tpu.models.mac_cell import MACCell
 from mac_network_tpu.ops.activations import Act
 from mac_network_tpu.ops.cnn import CNNLayer
-from mac_network_tpu.ops.dropout import generate_var_dp_mask
+from mac_network_tpu.ops.dropout import (apply_var_dp_mask,
+                                         generate_var_dp_mask)
 from mac_network_tpu.ops.linear import Linear, FCLayer
 from mac_network_tpu.ops.location import AddLocation, LinearizeFeatures
 from mac_network_tpu.ops.mul import Mul
@@ -308,14 +309,25 @@ class MACRecurrence(nn.Module):
             control_inputs.append(proj(shared, train))
 
         # KB projection hoisting: valid whenever per-step KB dropout is
-        # inactive (always at eval; see mac_cell.ReadUnit docstring).
+        # inactive (always at eval; see mac_cell.ReadUnit docstring) or
+        # tied across steps (--readVariationalDropout: one mask for the
+        # whole recurrence, so the dropped-KB projections are
+        # step-invariant even during training).
         # With unshared cells each step has its own projection — no hoist.
         kb_proj = None
         kb_w1 = None
         hoist = (cfg.readProjInputs and not cfg.unsharedCells
-                 and (not train or cfg.readDropout >= 1.0))
+                 and (not train or cfg.readDropout >= 1.0
+                      or cfg.readVariationalDropout))
         if hoist:
-            kb_proj = self.cell.project_kb(knowledge_base, train)
+            kb_in = knowledge_base
+            if train and cfg.readVariationalDropout and cfg.readDropout < 1.0:
+                kb_mask = generate_var_dp_mask(
+                    self.make_rng("dropout"), knowledge_base.shape,
+                    cfg.readDropout)
+                kb_in = apply_var_dp_mask(knowledge_base, kb_mask,
+                                          cfg.readDropout)
+            kb_proj = self.cell.project_kb(kb_in, train)
             if cfg.readMemProj and cfg.readMemConcatKB:
                 # also hoist the concat-half of the read projection's first
                 # matmul (step-invariant at eval) — ~1/3 of the read FLOPs

@@ -175,4 +175,6 @@ def main(cfg: Config) -> None:
 if __name__ == "__main__":
     cfg = parse_args()
     load_dataset_config(cfg)
+    from mac_network_tpu.config import apply_prng_impl
+    apply_prng_impl(cfg)
     main(cfg)

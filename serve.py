@@ -197,6 +197,8 @@ def main(argv=None):
             continue
         setattr(cfg, k, v)
     load_dataset_config(cfg)
+    from mac_network_tpu.config import apply_prng_impl
+    apply_prng_impl(cfg)
     serve(cfg, inp, outp, tier=tier, get_att=cfg.getAtt)
 
 

@@ -50,3 +50,25 @@ def test_dump_json_overwrites(tmp_path):
     with open(path) as f:
         snap = json.load(f)          # parseable after a second run
     assert snap["netLength"] == 4
+
+
+def test_prng_impl_flag():
+    """--prngImpl defaults to the TPU hardware bit generator and switches
+    jax's global key implementation via apply_prng_impl."""
+    import jax
+    from mac_network_tpu.config import apply_prng_impl
+
+    cfg = parse_args([])
+    assert cfg.prngImpl == "rbg"
+    with pytest.raises(SystemExit):
+        parse_args(["--prngImpl", "bogus"])
+
+    cfg_tf = parse_args(["--prngImpl", "threefry"])
+    before = jax.config.jax_default_prng_impl
+    try:
+        apply_prng_impl(cfg)
+        assert jax.random.key(0).dtype.name.startswith("key<rbg")
+        apply_prng_impl(cfg_tf)
+        assert jax.random.key(0).dtype.name.startswith("key<fry")
+    finally:
+        jax.config.update("jax_default_prng_impl", before)

@@ -224,3 +224,46 @@ def test_kb_proj_hoisting_matches_unhoisted():
                               rngs={"dropout": jax.random.key(3)})
     np.testing.assert_allclose(np.asarray(l_eval), np.asarray(l_train),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_read_variational_dropout():
+    """--readVariationalDropout ties the KB dropout mask across steps and
+    enables the train-time projection hoist; eval is unchanged, training
+    stays stochastic and differentiable."""
+    base = small_cfg(readDropout=0.5, controlContextual=True,
+                     readProjInputs=True, readMemConcatKB=True,
+                     readMemConcatProj=True, readMemProj=True)
+    tied = dataclasses.replace(base, readVariationalDropout=True)
+    model_b = MACNetwork(base, make_embedding_init(base))
+    model_t = MACNetwork(tied, make_embedding_init(tied))
+    rng = jax.random.key(0)
+    qs = jax.random.randint(jax.random.key(1), (B, L), 1, VOCAB)
+    lens = jnp.full((B,), L, jnp.int32)
+    imgs = jax.random.normal(jax.random.key(2), (B, H, W, C))
+    variables = model_b.init({"params": jax.random.key(7),
+                              "dropout": jax.random.key(8)},
+                             qs, lens, imgs)
+
+    # eval path identical (dropout inactive, same hoist)
+    lb, _ = model_b.apply(variables, qs, lens, imgs, train=False)
+    lt, _ = model_t.apply(variables, qs, lens, imgs, train=False)
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(lt),
+                               rtol=1e-5, atol=1e-5)
+
+    # train path: stochastic across rngs, deterministic per rng, finite grads
+    t1, _ = model_t.apply(variables, qs, lens, imgs, train=True,
+                          rngs={"dropout": jax.random.key(3)})
+    t1b, _ = model_t.apply(variables, qs, lens, imgs, train=True,
+                           rngs={"dropout": jax.random.key(3)})
+    t2, _ = model_t.apply(variables, qs, lens, imgs, train=True,
+                          rngs={"dropout": jax.random.key(4)})
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t1b))
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))
+
+    def loss(p):
+        lg, _ = model_t.apply({"params": p}, qs, lens, imgs, train=True,
+                              rngs={"dropout": jax.random.key(5)})
+        return jnp.mean(lg ** 2)
+    grads = jax.grad(loss)(variables["params"])
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))
