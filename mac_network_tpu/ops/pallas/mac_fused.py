@@ -575,14 +575,51 @@ class FusedMACEngine:
     def __init__(self, cfg: Config, embedding_init, batch_tile: int = 8):
         from mac_network_tpu.models.mac_network import (
             QuestionEncoder, Stem, OutputUnit, Classifier)
+        from mac_network_tpu.ops.pallas.lstm_fused import (
+            supports_fused_encoder)
         assert supports_fused_config(cfg), \
             "config outside the fused-kernel envelope; use the XLA path"
         self.cfg = cfg
         self.batch_tile = batch_tile
+        self.embedding_init = embedding_init
         self.encoder = QuestionEncoder(cfg, embedding_init)
+        # the bi-LSTM runs as a fused Pallas kernel when the layer shape
+        # allows; encoder projections with a non-NON activation keep the
+        # XLA encoder (the act-layer quirk lives there)
+        self._fused_enc = (supports_fused_encoder(cfg)
+                           and cfg.encProjQAct == "NON")
         self.stem = Stem(cfg)
         self.output = OutputUnit(cfg)
         self.classifier = Classifier(cfg)
+
+    def _encode(self, params, question_ids, lengths, interpret):
+        """Question input unit: XLA embedding lookup + fused Pallas
+        bi-LSTM (mirrors QuestionEncoder, reference model.py:242-307)."""
+        cfg = self.cfg
+        if not self._fused_enc:
+            return self.encoder.apply(
+                {"params": params["qEmbeddings"]}, question_ids, lengths,
+                train=False)
+        from mac_network_tpu.ops.pallas.lstm_fused import fused_bilstm
+        dtype = jnp.bfloat16 if cfg.computeDtype == "bfloat16" else jnp.float32
+        enc = params["qEmbeddings"]
+        table = jnp.concatenate(
+            [jnp.zeros((1, cfg.wrdEmbDim), enc["emb"].dtype), enc["emb"]],
+            axis=0)
+        words = jnp.take(table, question_ids, axis=0).astype(dtype)
+        a_emb = None
+        if cfg.ansEmbMod == "SHARED":
+            ans_map = jnp.asarray(
+                np.asarray(self.embedding_init["ansMap"], np.int32))
+            a_emb = jnp.take(table, ans_map, axis=0).astype(dtype)
+        elif cfg.ansEmbMod == "BOTH":
+            a_emb = enc["aEmb"].astype(dtype)
+        cntx, vec = fused_bilstm(cfg, enc["rnn0"], words, lengths,
+                                 interpret=interpret)
+        if (cfg.encDim != cfg.ctrlDim) or cfg.encProj:
+            cntx = _apply_linear(cntx, enc["projCW"])
+            vec = _apply_linear(vec, enc["projQ"])
+        return words, cntx, vec, a_emb
 
     def __call__(self, variables: Dict[str, Any], question_ids, lengths,
                  images, interpret: Optional[bool] = None):
@@ -593,9 +630,8 @@ class FusedMACEngine:
         T = cfg.netLength
         d = cfg.memDim
 
-        words_emb, cntx, vec_q, a_emb = self.encoder.apply(
-            {"params": params["qEmbeddings"]}, question_ids, lengths,
-            train=False)
+        words_emb, cntx, vec_q, a_emb = self._encode(
+            params, question_ids, lengths, interpret)
         kb = self.stem.apply({"params": params["stem"]}, images, train=False)
 
         mac = params["mac"]

@@ -162,3 +162,46 @@ def test_fused_respects_question_mask():
     got2 = engine(variables, qs2, lens, imgs, interpret=True)
     np.testing.assert_allclose(np.asarray(got1), np.asarray(got2),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fused_bilstm_matches_rnnlayer():
+    """The Pallas bi-LSTM kernel reproduces RNNLayer's masked
+    bidirectional dynamic_rnn semantics on the same parameters."""
+    from mac_network_tpu.ops.rnn import RNNLayer
+    from mac_network_tpu.ops.pallas.lstm_fused import (
+        fused_bilstm, supports_fused_encoder)
+
+    cfg = fused_cfg()
+    cfg.encDim = 256          # h=128 per direction — lane-tile aligned
+    cfg.encType = "LSTM"
+    cfg.encBi = True
+    cfg.encNumLayers = 1
+    assert supports_fused_encoder(cfg)
+
+    B, L, D = 8, 10, 48
+    words = jax.random.normal(jax.random.key(0), (B, L, D), jnp.float32)
+    lengths = jnp.array([10, 3, 7, 1, 10, 5, 2, 9], jnp.int32)
+    layer = RNNLayer(cfg.encDim, cfg, bi=True, cell_type="LSTM")
+    params = layer.init(jax.random.key(1), words, lengths)["params"]
+    cntx_ref, vec_ref = layer.apply({"params": params}, words, lengths)
+
+    cntx, vec = fused_bilstm(cfg, params, words, lengths, interpret=True)
+    np.testing.assert_allclose(np.asarray(cntx), np.asarray(cntx_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(vec), np.asarray(vec_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_engine_with_fused_encoder():
+    """Full engine parity when the encoder also runs through the Pallas
+    bi-LSTM (encDim sized to the kernel's lane-tile envelope)."""
+    cfg = fused_cfg()
+    cfg.encDim = 256
+    cfg.ctrlDim = cfg.memDim = cfg.attDim = 256
+    model, emb, variables, qs, lens, imgs = make_model(cfg)
+    expected, _ = model.apply(variables, qs, lens, imgs, train=False)
+    engine = FusedMACEngine(cfg, emb, batch_tile=4)
+    assert engine._fused_enc
+    got = engine(variables, qs, lens, imgs, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-4, atol=2e-4)
