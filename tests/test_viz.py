@@ -63,3 +63,37 @@ def test_visualization_filters(tmp_path):
     # wrong instances are skipped and right ones kept
     assert visualization.should_skip(args, wrong) is True
     assert visualization.should_skip(args, right) is False
+
+
+def test_trace_summary_tool(tmp_path, capsys):
+    """tools/trace_summary.py parses a Chrome-trace dump and attributes
+    device op time by module and direction."""
+    import gzip, json, sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import trace_summary
+
+    trace = {"traceEvents": [
+        {"ph": "M", "name": "process_name", "pid": 3,
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "name": "process_name", "pid": 9,
+         "args": {"name": "/host:CPU"}},
+        {"ph": "X", "pid": 3, "name": "fusion.1", "dur": 2000,
+         "args": {"source": "a.py:1",
+                  "tf_op": "jit(step)/jvp(Net)/stem/conv/x:"}},
+        {"ph": "X", "pid": 3, "name": "fusion.2", "dur": 1000,
+         "args": {"source": "b.py:2",
+                  "tf_op": "jit(step)/transpose(jvp(Net))/stem/conv/x:"}},
+        {"ph": "X", "pid": 3, "name": "jit_step", "dur": 9999, "args": {}},
+        {"ph": "X", "pid": 9, "name": "host_thing", "dur": 5000, "args": {}},
+    ]}
+    d = tmp_path / "plugins" / "profile" / "run"
+    d.mkdir(parents=True)
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump(trace, f)
+
+    events = trace_summary.load_events(str(tmp_path))
+    trace_summary.summarize(events, steps=1, top=5)
+    out = capsys.readouterr().out
+    assert "device op time: 3.00 ms/step" in out
+    assert "forward 2.00" in out and "backward 1.00" in out
+    assert "stem/conv/x:" in out
