@@ -44,3 +44,14 @@ def test_text_only_baseline_cannot_solve_it(data):
                    wrdEmbRandom=True, wrdEmbUniform=True)
     best = train_to_bar(cfg, train, val, max_epochs=20)
     assert 0.30 <= best <= 0.75, best
+
+
+def test_tied_read_dropout_converges(data):
+    """--readVariationalDropout (step-tied KB dropout mask, enabling the
+    train-time projection hoist) must not break learning: same bar as the
+    per-step-mask default."""
+    train, val, _ = data
+    cfg = conv_cfg(**VARIANTS["args"])
+    cfg.readVariationalDropout = True
+    best = train_to_bar(cfg, train, val, max_epochs=35, bar=BAR)
+    assert best >= BAR, f"tied read dropout: best val acc {best:.3f} < {BAR}"
