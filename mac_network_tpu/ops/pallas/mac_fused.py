@@ -572,7 +572,7 @@ class FusedMACEngine:
     ``MACNetwork.apply(train=False)`` for supported configs.
     """
 
-    def __init__(self, cfg: Config, embedding_init, batch_tile: int = 8):
+    def __init__(self, cfg: Config, embedding_init, batch_tile: int = 16):
         from mac_network_tpu.models.mac_network import (
             QuestionEncoder, Stem, OutputUnit, Classifier)
         from mac_network_tpu.ops.pallas.lstm_fused import (
