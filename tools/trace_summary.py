@@ -5,7 +5,7 @@ Usage:
 
 ``logdir`` is what you passed to ``jax.profiler.trace`` (or the per-epoch
 trace directory written by ``--profile``).  Reads the Chrome-trace JSON
-the TPU runtime emits (plugins/profile/*/\*.trace.json.gz) — no
+the TPU runtime emits (plugins/profile/.../*.trace.json.gz) — no
 tensorboard required — and prints:
 
   * total attributed device op time (divided by --steps for ms/step),
