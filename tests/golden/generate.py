@@ -37,10 +37,10 @@ def flatten_params(params, prefix=()):
 
 
 def build(variant):
-    from tests.test_model import (VARIANTS, make_embedding_init, make_inputs,
-                                  small_cfg)
+    from tests.test_model import make_embedding_init, make_inputs
+    from tests.test_golden import golden_cfg
     from mac_network_tpu.models import MACNetwork
-    cfg = small_cfg(**VARIANTS[variant])
+    cfg = golden_cfg(variant)
     emb = make_embedding_init(cfg)
     qs, lengths, images, _ = make_inputs(seed=123)
     model = MACNetwork(cfg, emb)
@@ -51,12 +51,18 @@ def build(variant):
 
 
 def main():
-    from tests.test_model import VARIANTS
+    from tests.test_golden import ALL_GOLDEN
     import flax
-    for variant in sorted(VARIANTS):
+    force = "--force" in sys.argv
+    for variant in ALL_GOLDEN:
+        path = os.path.join(GOLDEN_DIR, f"logits_{variant}.npz")
+        if os.path.exists(path) and not force:
+            # existing archives are the lock — never silently regenerate
+            # (pass --force for a deliberate, documented numerics change)
+            print(f"{path}: exists, skipping (use --force to regenerate)")
+            continue
         params, (qs, lengths, images), logits = build(variant)
         flat = {f"param.{k}": v for k, v in flatten_params(params).items()}
-        path = os.path.join(GOLDEN_DIR, f"logits_{variant}.npz")
         np.savez_compressed(
             path,
             questions=np.asarray(qs), lengths=np.asarray(lengths),

