@@ -220,10 +220,16 @@ def _project_kb_in_kernel(kb, wpx_ref, bpx_ref, w1b_ref, b1_ref):
 
 
 def _build_hoisted_kernel(T: int, relu_kind: str, S_real: int,
-                          use_gate: bool, use_satt: bool):
+                          use_gate: bool, use_satt: bool,
+                          with_mem_hist: bool = False):
     """Kernel body for the non-recurrent-control variants (args, args2,
     args3, args4): controls / gates / self-attention weights arrive
-    precomputed; the loop is the memory chain only."""
+    precomputed; the loop is the memory chain only.
+
+    ``with_mem_hist`` adds a [T, Bt, d] output of every step's (post-gate)
+    memory — the debug-outputs hook (SURVEY §7): the glue recomputes the
+    per-step KB read attention from it, so the fast path stays unchanged
+    when attention maps are not requested."""
 
     def kernel(*refs):
         it = iter(refs)
@@ -237,6 +243,7 @@ def _build_hoisted_kernel(T: int, relu_kind: str, S_real: int,
             next(it) for _ in range(5))
         wr_ref, br_ref, w3_ref, b3_ref = (next(it) for _ in range(4))
         out_ref = next(it)
+        memhist_ref = next(it) if with_mem_hist else None  # [T, Bt, d]
         hist_ref = next(it) if use_satt else None    # scratch [T+1, Bt, d]
 
         Bt, Sp, d = kb_ref.shape
@@ -271,6 +278,8 @@ def _build_hoisted_kernel(T: int, relu_kind: str, S_real: int,
                 new_mem = new_mem * z + memory * (1.0 - z)
             if use_satt:
                 hist_ref[pl.ds(t + 1, 1)] = new_mem[None]
+            if with_mem_hist:
+                memhist_ref[pl.ds(t, 1)] = new_mem[None]
             return new_mem
 
         out_ref[...] = jax.lax.fori_loop(0, T, step, mem0_ref[...])
@@ -361,7 +370,8 @@ def fused_mac_steps(cfg: Config, weights: Dict[str, jnp.ndarray],
                     words=None, wmask=None, ci_proj=None, ctrl0=None,
                     s_real: Optional[int] = None,
                     batch_tile: int = 8,
-                    interpret: Optional[bool] = None) -> jnp.ndarray:
+                    interpret: Optional[bool] = None,
+                    with_memories: bool = False):
     """Run the full netLength recurrence as one Pallas kernel.
 
     kb: [B, S, d] (S may be unpadded; padded here); mem0: [B, d].  The
@@ -373,8 +383,14 @@ def fused_mac_steps(cfg: Config, weights: Dict[str, jnp.ndarray],
     gates [T, B, d] (sigmoid applied, gateBias folded), optional satt
     [T, T, B] f32 (softmaxed self-attention weights over history slots).
     feedPrev path: words [B, L, d], wmask [B, L] f32 additive,
-    ci_proj [T, B, d], ctrl0 [B, d].  Returns final memory [B, d].
+    ci_proj [T, B, d], ctrl0 [B, d].  Returns final memory [B, d] — or
+    (final memory, per-step memory history [T, B, d]) when
+    ``with_memories`` (non-feedPrev only; the debug-outputs path).
     """
+    if with_memories and cfg.controlFeedPrev:
+        raise NotImplementedError(
+            "memory-history output is not supported for the feedprev "
+            "kernel; use the XLA path for getAtt on controlFeedPrev configs")
     B, S, d = kb.shape
     S_real = s_real if s_real is not None else S
     T = cfg.netLength
@@ -404,7 +420,10 @@ def fused_mac_steps(cfg: Config, weights: Dict[str, jnp.ndarray],
                "ci_proj", "ctrl0")}
         out = fused_mac_steps(
             cfg, weights, padded["kb"], padded["mem0"], s_real=S_real,
-            batch_tile=batch_tile, interpret=interpret, **kw)
+            batch_tile=batch_tile, interpret=interpret,
+            with_memories=with_memories, **kw)
+        if with_memories:
+            return out[0][:B], out[1][:, :B]
         return out[:B]
 
     # very large batches run as unrolled chunks (one pallas_call each; equal
@@ -433,7 +452,10 @@ def fused_mac_steps(cfg: Config, weights: Dict[str, jnp.ndarray],
             outs.append(fused_mac_steps(
                 cfg, weights, part["kb"],
                 part["mem0"], s_real=S_real, batch_tile=batch_tile,
-                interpret=interpret, **kw))
+                interpret=interpret, with_memories=with_memories, **kw))
+        if with_memories:
+            return (jnp.concatenate([o[0] for o in outs], axis=0),
+                    jnp.concatenate([o[1] for o in outs], axis=1))
         return jnp.concatenate(outs, axis=0)
 
     Bt = batch_tile
@@ -475,7 +497,8 @@ def fused_mac_steps(cfg: Config, weights: Dict[str, jnp.ndarray],
 
     if not feed_prev:
         kernel_fn = _build_hoisted_kernel(T, cfg.relu, S_real, use_gate,
-                                          use_satt)
+                                          use_satt,
+                                          with_mem_hist=with_memories)
         in_specs.append(step_tile(T, Bt, d))
         inputs.append(controls.astype(dtype))
         if use_gate:
@@ -537,12 +560,17 @@ def fused_mac_steps(cfg: Config, weights: Dict[str, jnp.ndarray],
         compiler_params = pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024)
+    out_shape = jax.ShapeDtypeStruct((B, d), dtype)
+    out_specs = tile(Bt, d)
+    if with_memories:
+        out_shape = [out_shape, jax.ShapeDtypeStruct((T, B, d), dtype)]
+        out_specs = [out_specs, step_tile(T, Bt, d)]
     out = pl.pallas_call(
         kernel_fn,
-        out_shape=jax.ShapeDtypeStruct((B, d), dtype),
+        out_shape=out_shape,
         grid=(B // Bt,),
         in_specs=in_specs,
-        out_specs=tile(Bt, d),
+        out_specs=out_specs,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
         compiler_params=compiler_params,
@@ -551,6 +579,8 @@ def fused_mac_steps(cfg: Config, weights: Dict[str, jnp.ndarray],
             bytes_accessed=B * Sp * d * 2,
             transcendentals=T * B * Sp),
     )(*inputs)
+    if with_memories:
+        return out[0], out[1]
     return out
 
 
@@ -662,9 +692,48 @@ class FusedMACEngine:
             vec = _apply_linear(vec, enc["projQ"])
         return words, cntx, vec, a_emb
 
-    def __call__(self, variables: Dict[str, Any], question_ids, lengths,
-                 images, interpret: Optional[bool] = None):
+    def _kb_attentions(self, weights, kb, mem0, mem_hist, controls):
+        """Recompute the per-step KB read attention (reference:
+        mac_cell.py:209-277) in XLA from the kernel's memory-history debug
+        output: the read attention at step t is a closed function of
+        memory_{t-1} and control_t once the KB projections are known.
+        Only runs when attention maps are requested — the fast path never
+        pays for it."""
         cfg = self.cfg
+        dtype = kb.dtype
+        w = {k: weights[k].astype(dtype)
+             for k in ("wpx", "bpx", "w1b", "b1", "wmem", "bmem",
+                       "w1a", "w2", "b2")}
+        dot = lambda a, b: jnp.dot(
+            a, b, preferred_element_type=jnp.float32).astype(dtype)
+        kbp = dot(kb, w["wpx"]) + w["bpx"]
+        kbw1b = dot(kbp, w["w1b"]) + w["b1"]
+        mems = jnp.concatenate([mem0[None], mem_hist[:-1]], axis=0)  # [T,B,d]
+        y = dot(mems, w["wmem"]) + w["bmem"]
+        inter = kbp[None] * y[:, :, None, :]                 # [T,B,S,d]
+        h = dot(inter, w["w1a"]) + kbw1b[None]
+        h = _act(h, cfg.relu)
+        h = dot(h, w["w2"]) + w["b2"]
+        e = _act(h * controls[:, :, None, :], cfg.relu)
+        rlog = jnp.einsum(
+            "tbsd,d->tbs", e, weights["wr"].astype(dtype),
+            preferred_element_type=jnp.float32)
+        rlog = rlog + weights["br"].astype(jnp.float32)
+        return jax.nn.softmax(rlog, axis=-1)                 # [T,B,S] f32
+
+    def __call__(self, variables: Dict[str, Any], question_ids, lengths,
+                 images, interpret: Optional[bool] = None,
+                 get_att: bool = False):
+        """Serving forward.  With ``get_att`` (non-feedPrev configs only)
+        returns (logits, attentions) with the XLA path's schema:
+        question [T,B,L], kb [T,B,S], gate [T,B,gateDim] (writeGate),
+        self [T,B,T+1] (writeSelfAtt) — reference model.py:732-760."""
+        cfg = self.cfg
+        if get_att and cfg.controlFeedPrev:
+            raise NotImplementedError(
+                "getAtt with the fused engine requires the hoisted-control "
+                "kernels; controlFeedPrev configs serve attentions via the "
+                "XLA path")
         params = variables["params"]
         dtype = jnp.bfloat16 if cfg.computeDtype == "bfloat16" else jnp.float32
         images = images.astype(dtype)
@@ -738,11 +807,13 @@ class FusedMACEngine:
             qlog = jnp.einsum("tbd,bld->tbl", ci * wq[None, None, :], words,
                               preferred_element_type=jnp.float32)
             qlog = qlog + weights["bq"].astype(jnp.float32) + wmask[None]
-            qatt = jax.nn.softmax(qlog, axis=-1).astype(dtype)
+            qatt_f32 = jax.nn.softmax(qlog, axis=-1)
+            qatt = qatt_f32.astype(dtype)
             controls = jnp.einsum("tbl,bld->tbd", qatt, words,
                                   preferred_element_type=jnp.float32
                                   ).astype(dtype)
             kwargs["controls"] = controls
+            atts: Dict[str, Any] = {"question": qatt_f32}
 
             if cfg.writeGate:
                 # gate weights are a function of the step's control only
@@ -754,6 +825,7 @@ class FusedMACEngine:
                 z = jax.nn.sigmoid(glog + gb + cfg.writeGateBias)
                 kwargs["gates"] = jnp.broadcast_to(
                     z.astype(dtype), (T, B, d))
+                atts["gate"] = z                       # [T, B, gateDim] f32
 
             if cfg.writeSelfAtt:
                 # self-attention WEIGHTS over the control history are
@@ -776,15 +848,27 @@ class FusedMACEngine:
                 slog = jnp.where(slot_ids <= step_ids, slog, NEG_INF)
                 satt = jax.nn.softmax(slog, axis=-1)         # [T, B, T] f32
                 kwargs["satt"] = jnp.transpose(satt, (0, 2, 1))  # [T, T, B]
+                # the XLA path pads each step's growing map to the full
+                # T+1 history slots (mac_network.py unrolled stacking)
+                atts["self"] = jnp.pad(satt, ((0, 0), (0, 0), (0, 1)))
 
-        final_memory = fused_mac_steps(
-            cfg, weights, kb, mem0,
-            batch_tile=self.batch_tile, interpret=interpret, **kwargs)
+        if get_att:
+            final_memory, mem_hist = fused_mac_steps(
+                cfg, weights, kb, mem0, batch_tile=self.batch_tile,
+                interpret=interpret, with_memories=True, **kwargs)
+            atts["kb"] = self._kb_attentions(
+                weights, kb, mem0, mem_hist, controls)
+        else:
+            final_memory = fused_mac_steps(
+                cfg, weights, kb, mem0,
+                batch_tile=self.batch_tile, interpret=interpret, **kwargs)
 
         features = self.output.apply({"params": params["output"]},
                                      final_memory, vec_q, images, train=False)
         logits = self.classifier.apply({"params": params["classifier"]},
                                        features, a_emb, train=False)
+        if get_att:
+            return logits, atts
         return logits
 
 

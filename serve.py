@@ -101,12 +101,14 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
               f"({len(jax.devices())} devices visible; use main.py for "
               f"multi-chip)", file=sys.stderr)
 
-    # the fused engine has no attention outputs; getAtt forces the XLA path
-    # (reference returns attention maps wherever getAtt is set,
+    # the fused engine serves attention maps via its memory-history debug
+    # output for the hoisted-control kernels; controlFeedPrev (args1) keeps
+    # its control recurrence in-kernel, so getAtt falls back to the XLA
+    # path there (reference returns attention maps wherever getAtt is set,
     # model.py:732-760)
-    if cfg.usePallas and get_att:
-        print("serve: --getAtt requires the XLA path; ignoring --usePallas",
-              file=sys.stderr)
+    if cfg.usePallas and get_att and cfg.controlFeedPrev:
+        print("serve: --getAtt on a controlFeedPrev config requires the "
+              "XLA path; ignoring --usePallas", file=sys.stderr)
         cfg.usePallas = False
 
     # prediction function: fused engine when requested and supported
@@ -115,8 +117,16 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
             FusedMACEngine, supports_fused_config)
         if supports_fused_config(cfg):
             engine = FusedMACEngine(cfg, emb_init)
-            predict = jax.jit(lambda p, q, l, im: (jnp.argmax(
-                engine({"params": p}, q, l, im), -1).astype(jnp.int32), {}))
+            if get_att:
+                def _fused_predict(p, q, l, im):
+                    logits, atts = engine({"params": p}, q, l, im,
+                                          get_att=True)
+                    return jnp.argmax(logits, -1).astype(jnp.int32), atts
+                predict = jax.jit(_fused_predict)
+            else:
+                predict = jax.jit(lambda p, q, l, im: (jnp.argmax(
+                    engine({"params": p}, q, l, im), -1).astype(jnp.int32),
+                    {}))
         else:
             print("serve: config outside fused envelope; XLA path",
                   file=sys.stderr)

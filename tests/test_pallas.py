@@ -209,6 +209,47 @@ def test_fused_b768_chunks():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("variant", ["plain", "gate", "satt"])
+def test_fused_attention_outputs_match_xla(variant):
+    """get_att on the fused engine (memory-history debug output + XLA
+    recompute of the read attention) must reproduce the XLA path's
+    attention maps and leave the logits unchanged (round-2 VERDICT
+    missing #5 / SURVEY §7 'debug outputs path')."""
+    over = {"gate": dict(writeGate=True),
+            "satt": dict(writeSelfAtt=True, writeSelfAttMod="CONT")}
+    cfg = fused_cfg(**over.get(variant, {}))
+    model, emb, variables, qs, lens, imgs = make_model(cfg)
+    expected, ref_atts = model.apply(variables, qs, lens, imgs, train=False)
+    engine = FusedMACEngine(cfg, emb, batch_tile=4)
+    plain = engine(variables, qs, lens, imgs, interpret=True)
+    logits, atts = engine(variables, qs, lens, imgs, interpret=True,
+                          get_att=True)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(plain),
+                               rtol=1e-5, atol=1e-5)
+    expected_keys = {"question", "kb"}
+    if variant == "gate":
+        expected_keys.add("gate")
+    if variant == "satt":
+        expected_keys.add("self")
+    assert set(atts) == expected_keys
+    for k in expected_keys:
+        assert atts[k].shape == ref_atts[k].shape, (
+            k, atts[k].shape, ref_atts[k].shape)
+        np.testing.assert_allclose(
+            np.asarray(atts[k]), np.asarray(ref_atts[k]),
+            rtol=2e-4, atol=2e-4, err_msg=f"attention {k!r} diverges")
+
+
+def test_fused_get_att_rejects_feedprev():
+    cfg = fused_cfg(controlFeedPrev=True, controlFeedPrevAtt=True,
+                    controlFeedInputs=True, controlContAct="TANH",
+                    initCtrl="PRM", controlInputUnshared=False)
+    model, emb, variables, qs, lens, imgs = make_model(cfg)
+    engine = FusedMACEngine(cfg, emb, batch_tile=4)
+    with pytest.raises(NotImplementedError):
+        engine(variables, qs, lens, imgs, interpret=True, get_att=True)
+
+
 def test_fused_respects_question_mask():
     """Padding words must not receive control attention: compare logits for
     two paddings of the same question."""
