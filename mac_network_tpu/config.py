@@ -276,6 +276,15 @@ class Config:
                                     # recurrence during TRAINING too,
                                     # cutting ~1/3 of train-step FLOPs.
     usePallas: bool = False         # fused Pallas MAC-step kernel on TPU
+    fusedTrain: bool = False        # custom-VJP fused TRAINING recurrence
+                                    # (ops/pallas/mac_train.py): keeps the
+                                    # read chain in VMEM through fwd+bwd.
+                                    # Requires the fused-train envelope
+                                    # (step-tied KB dropout or
+                                    # readDropout=1); in-kernel dropout
+                                    # uses its own RNG stream (same
+                                    # keep-probs, different sample — the
+                                    # --prngImpl stance, PARITY.md)
     meshData: int = 0               # data-parallel mesh axis size (0 = all devices)
     meshModel: int = 1              # model-parallel mesh axis (vocab-dim sharding)
     prefetchDepth: int = 2          # device_put double-buffer depth

@@ -1,0 +1,777 @@
+"""Fused Pallas TRAINING recurrence for the MAC memory chain (custom VJP).
+
+Round-2 profiling (tools/trace_summary.py on the flagship B=256 train
+step) showed `mac/cell/read` at 50.8 ms of the 64.9 ms step — ~4x its
+matmul roofline — because the XLA backward streams every step's [B, S, d]
+read-chain residuals (inter, h, h2, e) through HBM.  This module removes
+that traffic the flash-attention way:
+
+  * **forward kernel**: the serving engine's memory chain (read + write,
+    hoisted controls/gates) with the KB tiles and weights VMEM-resident
+    across all T steps; the ONLY residual it saves is the tiny per-step
+    memory history [T, B, d] (plus the final memory).
+  * **backward kernel**: loops t = T-1..0 per batch tile, RECOMPUTES the
+    [B, S, d] chain in VMEM from the saved memories, and accumulates
+    every gradient in VMEM f32 — weight grads across the whole grid, the
+    three KB-sized grads per tile.  HBM traffic for the entire
+    recurrence backward is one read of kb/kbp/kbw1 and one write of
+    their grads, instead of 16 steps x several tensors each way.
+  * dropout (the read unit's y/e dropouts, reference ops.py:686-688 and
+    inter2logits dropout, ops.py:120) uses an in-kernel counter-based
+    hash RNG (pure vector integer ops — identical under Mosaic and
+    interpret mode) so masks are never materialized in HBM and replay
+    exactly in the backward.  The RNG *stream* differs from the XLA
+    path's threefry/rbg draws — same keep-probabilities, different
+    sample — which changes training noise, not semantics (the same
+    stance as --prngImpl, PARITY.md).
+
+Envelope (``supports_fused_train``): the serving envelope minus
+controlFeedPrev / writeSelfAtt / writeGateShared, with step-tied KB
+dropout (--readVariationalDropout, or readDropout == 1) and variational
+memory dropout (or none) — i.e. the recommended fast training recipe.
+Exact per-step-KB-dropout parity training keeps the XLA path.
+
+Reference semantics transcribed: mac_cell.py:209-277 (read),
+mac_cell.py:305-375 (write), model.py:447-458 (unrolled recurrence).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mac_network_tpu.config import Config
+from mac_network_tpu.ops.pallas.mac_fused import (
+    NEG_INF, _act, _round_up, _sublane, supports_fused_config)
+
+
+def supports_fused_train(cfg: Config) -> bool:
+    """Flag envelope the fused training recurrence implements exactly
+    (see module docstring for what falls back to the XLA path)."""
+    return (
+        supports_fused_config(cfg)
+        and not cfg.controlFeedPrev
+        and not cfg.writeSelfAtt
+        and not (cfg.writeGate and cfg.writeGateShared)
+        and cfg.writeDropout >= 1.0
+        and (cfg.readDropout >= 1.0 or cfg.readVariationalDropout)
+        and (cfg.memoryDropout >= 1.0 or cfg.memoryVariationalDropout)
+    )
+
+
+# ------------------------------------------------------------- in-kernel RNG
+
+def _hash_uniform(shape, salt, extra: int):
+    """Counter-based uniform [0, 1) from pure vector int32 ops (works in
+    Mosaic and interpret mode; no pltpu.prng needed).  ``salt`` is a
+    traced int32 scalar; ``extra`` a static stream id.  Quality is
+    xorshift-multiply grade — ample for dropout masks."""
+    idx = jnp.zeros(shape, jnp.int32)
+    stride = 1
+    for axis in range(len(shape) - 1, -1, -1):
+        idx = idx + jax.lax.broadcasted_iota(jnp.int32, shape, axis) * stride
+        stride *= shape[axis]
+    def _i32(v: int) -> np.int32:               # wrap to two's complement
+        v &= 0xFFFFFFFF
+        return np.int32(v - (1 << 32) if v >= (1 << 31) else v)
+
+    x = idx * jnp.int32(-1640531527)            # 0x9E3779B9 (wraps)
+    x = x + jnp.full(shape, salt + _i32(extra * 1315423911), jnp.int32)
+    for c in (-862048943, -1028477387):         # murmur3-style mix rounds
+        x = x ^ jax.lax.shift_right_logical(x, 16)
+        x = x * jnp.int32(c)
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    mant = jax.lax.shift_right_logical(x, 9)    # 23 uniform bits
+    return mant.astype(jnp.float32) * jnp.float32(1.0 / (1 << 23))
+
+
+def _keep_mask(shape, salt, extra: int, keep: float, dtype):
+    """Inverted-dropout mask: 1/keep with prob ``keep`` else 0."""
+    u = _hash_uniform(shape, salt, extra)
+    keep_arr = jnp.full(shape, keep, jnp.float32)
+    scale = jnp.asarray(1.0 / keep, jnp.float32)
+    return jnp.where(u < keep_arr, scale, 0.0).astype(dtype)
+
+
+# ------------------------------------------------------------------ kernels
+
+def _fwd_chain(t, memory, kb, kbp, kbw1, ctrl, mem_mask, salt,
+               wy, by, w1a, w2, b2, wr128, br, pad_mask,
+               relu_kind, read_keep, dtype):
+    """Recompute (or compute) one step's read chain from the step-entry
+    memory.  Returns every intermediate the backward needs.
+    Reference: mac_cell.py:209-277 with the train-time dropouts."""
+    Bt, Sp, d = kb.shape
+    m_in = memory * mem_mask                    # variational memory dropout
+    if read_keep < 1.0:
+        y_mask = _keep_mask((Bt, d), salt, 1, read_keep, dtype)
+        y0 = m_in * y_mask
+    else:
+        y_mask = None
+        y0 = m_in
+    # NB: cast each matmul back to the compute dtype BEFORE adding the
+    # bf16 bias — adding a bf16 broadcast into an f32 accumulator makes
+    # Mosaic convert a replicated-layout vector, which it cannot relayout
+    y = jnp.dot(y0, wy,
+                preferred_element_type=jnp.float32).astype(dtype) + by
+    inter2 = (kbp * y[:, None, :]).reshape(Bt * Sp, d)
+    h = (jnp.dot(inter2, w1a, preferred_element_type=jnp.float32)
+         .astype(dtype) + kbw1.reshape(Bt * Sp, d))
+    a = _act(h, relu_kind)
+    h2 = (jnp.dot(a, w2, preferred_element_type=jnp.float32)
+          .astype(dtype) + b2)
+    e_pre = h2.reshape(Bt, Sp, d) * ctrl[:, None, :]
+    e = _act(e_pre, relu_kind)
+    if read_keep < 1.0:
+        e_mask = _keep_mask((Bt, Sp, d), salt, 2, read_keep, dtype)
+        e_drop = e * e_mask
+    else:
+        e_mask = None
+        e_drop = e
+    r = jnp.dot(e_drop.reshape(Bt * Sp, d), wr128,
+                preferred_element_type=jnp.float32)     # [Bt*Sp, 128] f32
+    rl = r.reshape(Bt, Sp, 128) + br + pad_mask
+    ex = jnp.exp(jnp.minimum(rl, 80.0))
+    sm = jnp.sum(ex, axis=1, keepdims=True)
+    att3 = ex / (sm + 1e-30)                            # [Bt, Sp, 128] f32
+    attd = att3[:, :, :1].astype(dtype)                 # [Bt, Sp, 1]
+    info = jnp.sum(attd * kb, axis=1).astype(dtype)     # [Bt, d]
+    return dict(m_in=m_in, y_mask=y_mask, y0=y0, y=y, inter2=inter2,
+                h=h, a=a, h2=h2, e_pre=e_pre, e=e, e_mask=e_mask,
+                e_drop=e_drop, attd=attd, info=info)
+
+
+def _act_grad(pre, out, relu_kind, dtype):
+    """d act / d pre from the (recomputed) activation OUTPUT, compare-free
+    and exp-free where possible.  ELU': exp(x) = elu(x)+1 for x <= 0 and
+    1 for x > 0, i.e. exactly min(out + 1, 1) — an add+min instead of a
+    transcendental (the backward kernel calls this on [Bt, Sp, d] tensors
+    every step, so the exp is measurable VPU time)."""
+    one = jnp.asarray(1.0, dtype)
+    if relu_kind == "ELU":
+        return jnp.minimum(out + one, one)
+    if relu_kind == "TANH":
+        return (one - out * out)
+    if relu_kind == "NON":
+        return jnp.ones_like(pre)
+    # STD: 1 where pre > 0 else 0 == max(sign(pre), 0)
+    return jnp.maximum(jnp.sign(pre), jnp.asarray(0.0, dtype))
+
+
+def _build_train_fwd_kernel(T, relu_kind, S_real, use_gate, read_keep):
+    def kernel(*refs):
+        it = iter(refs)
+        seed_ref = next(it)                    # SMEM [1]
+        kb_ref, kbp_ref, kbw1_ref = (next(it) for _ in range(3))
+        ctrl_ref = next(it)                    # [T, Bt, d]
+        gates_ref = next(it) if use_gate else None
+        mem0_ref = next(it)
+        mask_ref = next(it)                    # [Bt, d] scaled mem mask
+        wy_ref, by_ref, w1a_ref, w2_ref, b2_ref = (
+            next(it) for _ in range(5))
+        wr_ref, br_ref, w3_ref, b3_ref = (next(it) for _ in range(4))
+        out_ref = next(it)                     # [Bt, d] final memory
+        hist_ref = next(it)                    # [T, Bt, d] step-entry mems
+
+        Bt, Sp, d = kb_ref.shape
+        dtype = kb_ref.dtype
+        kb = kb_ref[...]
+        kbp = kbp_ref[...]
+        kbw1 = kbw1_ref[...]
+        mem_mask = mask_ref[...]
+        wy, w1a, w2 = wy_ref[...], w1a_ref[...], w2_ref[...]
+        by = by_ref[...]
+        b2 = b2_ref[...]
+        wr128 = wr_ref[...]
+        br = br_ref[0, 0]
+        w3, b3 = w3_ref[...], b3_ref[...]
+        i = pl.program_id(0)
+        pad_mask = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (1, Sp, 1), 1) < S_real,
+            0.0, NEG_INF).astype(jnp.float32)
+
+        def step(t, memory):
+            hist_ref[pl.ds(t, 1)] = memory[None]
+            salt = seed_ref[0] + (i * jnp.int32(T) + t) * jnp.int32(9973)
+            f = _fwd_chain(t, memory, kb, kbp, kbw1, ctrl_ref[t],
+                           mem_mask, salt, wy, by, w1a, w2, b2, wr128, br,
+                           pad_mask, relu_kind, read_keep, dtype)
+            parts = jnp.concatenate([memory, f["info"]], axis=-1)
+            new_mem = jnp.dot(parts, w3,
+                              preferred_element_type=jnp.float32
+                              ).astype(dtype) + b3
+            if use_gate:
+                z = gates_ref[t]
+                new_mem = new_mem * z + memory * (1.0 - z)
+            return new_mem
+
+        out_ref[...] = jax.lax.fori_loop(0, T, step, mem0_ref[...])
+
+    return kernel
+
+
+def _build_train_bwd_kernel(T, relu_kind, S_real, use_gate, read_keep):
+    def kernel(*refs):
+        it = iter(refs)
+        seed_ref = next(it)
+        kb_ref, kbp_ref, kbw1_ref = (next(it) for _ in range(3))
+        ctrl_ref = next(it)
+        gates_ref = next(it) if use_gate else None
+        mask_ref = next(it)
+        wy_ref, by_ref, w1a_ref, w2_ref, b2_ref = (
+            next(it) for _ in range(5))
+        wr_ref, br_ref, w3_ref, b3_ref = (next(it) for _ in range(4))
+        wr_row_ref = next(it)                  # [1, d] f32
+        hist_ref = next(it)                    # [T, Bt, d]
+        gout_ref = next(it)                    # [Bt, d] d(final memory)
+        # outputs
+        gkb_ref, gkbp_ref, gkbw1_ref = (next(it) for _ in range(3))
+        gctrl_ref = next(it)                   # [T, Bt, d]
+        ggate_ref = next(it) if use_gate else None
+        gmem0_ref = next(it)
+        gmask_ref = next(it)                   # [Bt, d] d(mem_mask)
+        gwy_ref, gby_ref, gw1a_ref, gw2_ref, gb2_ref = (
+            next(it) for _ in range(5))
+        gwr_ref, gbr_ref, gw3_ref, gb3_ref = (next(it) for _ in range(4))
+
+        Bt, Sp, d = kb_ref.shape
+        dtype = kb_ref.dtype
+        kb = kb_ref[...]
+        kbp = kbp_ref[...]
+        kbw1 = kbw1_ref[...]
+        mem_mask = mask_ref[...]
+        wy, w1a, w2 = wy_ref[...], w1a_ref[...], w2_ref[...]
+        by = by_ref[...]
+        b2 = b2_ref[...]
+        wr128 = wr_ref[...]
+        wr_row = wr_row_ref[...]                        # [1, d] f32
+        br = br_ref[0, 0]
+        w3, b3 = w3_ref[...], b3_ref[...]
+        i = pl.program_id(0)
+        pad_mask = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (1, Sp, 1), 1) < S_real,
+            0.0, NEG_INF).astype(jnp.float32)
+
+        # weight-grad accumulators are shared across grid cells
+        # ("arbitrary" semantics keeps the (0,..) blocks resident):
+        # zero them on the first cell only
+        @pl.when(i == 0)
+        def _init():
+            for ref in (gwy_ref, gby_ref, gw1a_ref, gw2_ref, gb2_ref,
+                        gwr_ref, gbr_ref, gw3_ref, gb3_ref):
+                ref[...] = jnp.zeros_like(ref)
+
+        f32 = jnp.float32
+        zero3 = jnp.zeros((Bt, Sp, d), f32)
+        zero2 = jnp.zeros((Bt, d), f32)
+
+        def step(k, carry):
+            t = T - 1 - k
+            (g_mem, gkb_a, gkbp_a, gkbw1_a, gmask_a,
+             gwy_a, gby_a, gw1a_a, gw2_a, gb2_a, gwr_a, gbr_a,
+             gw3_a, gb3_a) = carry
+            memory = hist_ref[t]
+            ctrl = ctrl_ref[t]
+            salt = seed_ref[0] + (i * jnp.int32(T) + t) * jnp.int32(9973)
+            f = _fwd_chain(t, memory, kb, kbp, kbw1, ctrl, mem_mask, salt,
+                           wy, by, w1a, w2, b2, wr128, br, pad_mask,
+                           relu_kind, read_keep, dtype)
+
+            # ---- write unit backward (reference: mac_cell.py:333-367)
+            parts = jnp.concatenate([memory, f["info"]], axis=-1)
+            if use_gate:
+                z = gates_ref[t]
+                nm = jnp.dot(parts, w3,
+                             preferred_element_type=jnp.float32
+                             ).astype(dtype) + b3
+                g_nm = (g_mem * z).astype(dtype)
+                g_z = (g_mem.astype(f32)
+                       * (nm - memory).astype(f32))
+                ggate_ref[pl.ds(t, 1)] = g_z.astype(dtype)[None]
+                g_mem_direct = (g_mem * (1.0 - z)).astype(f32)
+            else:
+                g_nm = g_mem.astype(dtype)
+                g_mem_direct = jnp.zeros((Bt, d), f32)
+            g_parts = jnp.dot(g_nm, w3.T,
+                              preferred_element_type=jnp.float32)
+            gw3_a = gw3_a + jnp.dot(
+                parts.T, g_nm, preferred_element_type=jnp.float32)
+            gb3_a = gb3_a + jnp.sum(g_nm.astype(f32), axis=0,
+                                    keepdims=True)
+            g_mem_w = g_parts[:, :d]
+            g_info = g_parts[:, d:].astype(dtype)       # [Bt, d]
+
+            # ---- info = sum_s att * kb
+            gkb_a = gkb_a + (f["attd"].astype(f32)
+                             * g_info[:, None, :].astype(f32))
+            g_att = jnp.sum(kb.astype(f32) * g_info[:, None, :].astype(f32),
+                            axis=-1, keepdims=True)     # [Bt, Sp, 1] f32
+            # softmax backward (over the Sp axis)
+            attc = f["attd"].astype(f32)                # [Bt, Sp, 1]
+            dot_s = jnp.sum(attc * g_att, axis=1, keepdims=True)
+            g_r = attc * (g_att - dot_s)                # [Bt, Sp, 1] f32
+            gbr_a = gbr_a + jnp.sum(g_r).reshape(1, 1)
+
+            # ---- logits = e_drop . wr
+            g_e_drop = (g_r * wr_row[None]).astype(dtype)
+            gwr_a = gwr_a + jnp.sum(
+                f["e_drop"].astype(f32) * g_r, axis=(0, 1),
+                keepdims=True).reshape(1, d)              # [1, d]
+            if read_keep < 1.0:
+                g_e = g_e_drop * f["e_mask"]
+            else:
+                g_e = g_e_drop
+            # e = act(h2 * ctrl)
+            g_epre = g_e * _act_grad(f["e_pre"], f["e"], relu_kind, dtype)
+            g_h2 = (g_epre * ctrl[:, None, :]).reshape(Bt * Sp, d)
+            # e_pre = h2 * ctrl, so d ctrl = sum_s g_epre * h2
+            gctrl_ref[pl.ds(t, 1)] = jnp.sum(
+                g_epre * f["h2"].reshape(Bt, Sp, d), axis=1)[None]
+
+            # ---- h2 = act(h) @ w2 + b2
+            g_a = jnp.dot(g_h2, w2.T,
+                          preferred_element_type=jnp.float32).astype(dtype)
+            gw2_a = gw2_a + jnp.dot(
+                f["a"].T, g_h2, preferred_element_type=jnp.float32)
+            gb2_a = gb2_a + jnp.sum(g_h2.astype(f32), axis=0,
+                                    keepdims=True)
+            g_h = g_a * _act_grad(f["h"], f["a"], relu_kind, dtype)
+
+            # ---- h = inter2 @ w1a + kbw1
+            g_inter2 = jnp.dot(g_h, w1a.T,
+                               preferred_element_type=jnp.float32
+                               ).astype(dtype)
+            gw1a_a = gw1a_a + jnp.dot(
+                f["inter2"].T, g_h, preferred_element_type=jnp.float32)
+            gkbw1_a = gkbw1_a + g_h.reshape(Bt, Sp, d).astype(f32)
+
+            # ---- inter = kbp * y
+            g_inter3 = g_inter2.reshape(Bt, Sp, d)
+            gkbp_a = gkbp_a + (g_inter3.astype(f32)
+                               * f["y"][:, None, :].astype(f32))
+            # NB: the Sp-axis reduction result carries a replicated Mosaic
+            # layout that convert_element_type cannot relayout — so reduce
+            # IN f32 and keep every downstream op f32 (tiny [Bt, d] math)
+            prod32 = (g_inter3 * kbp).astype(f32)
+            g_y32 = jnp.sum(prod32, axis=1)                  # [Bt, d] f32
+
+            # ---- y = y0 @ wy + by   (f32 end-to-end; negligible FLOPs)
+            g_y0 = jax.lax.dot_general(
+                g_y32, wy.astype(f32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # g_y @ wy^T
+            gwy_a = gwy_a + jax.lax.dot_general(
+                f["y0"].astype(f32), g_y32, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # y0^T @ g_y
+            gby_a = gby_a + jnp.sum(prod32, axis=(0, 1),
+                                    keepdims=True).reshape(1, d)
+            if read_keep < 1.0:
+                g_min = g_y0 * f["y_mask"].astype(f32)
+            else:
+                g_min = g_y0
+            # m_in = memory * mem_mask
+            g_mem_read = g_min * mem_mask.astype(f32)
+            gmask_a = gmask_a + g_min * memory.astype(f32)
+
+            g_mem_prev = (g_mem_direct + g_mem_w + g_mem_read).astype(dtype)
+            return (g_mem_prev, gkb_a, gkbp_a, gkbw1_a, gmask_a,
+                    gwy_a, gby_a, gw1a_a, gw2_a, gb2_a, gwr_a, gbr_a,
+                    gw3_a, gb3_a)
+
+        init = (gout_ref[...],
+                zero3, zero3, zero3, zero2,
+                jnp.zeros((d, d), f32), jnp.zeros((1, d), f32),
+                jnp.zeros((d, d), f32), jnp.zeros((d, d), f32),
+                jnp.zeros((1, d), f32), jnp.zeros((1, d), f32),
+                jnp.zeros((1, 1), f32),
+                jnp.zeros((2 * d, d), f32), jnp.zeros((1, d), f32))
+        out = jax.lax.fori_loop(0, T, step, init)
+        (g_mem0, gkb_a, gkbp_a, gkbw1_a, gmask_a,
+         gwy_a, gby_a, gw1a_a, gw2_a, gb2_a, gwr_a, gbr_a,
+         gw3_a, gb3_a) = out
+
+        gmem0_ref[...] = g_mem0.astype(dtype)
+        gkb_ref[...] = gkb_a.astype(dtype)
+        gkbp_ref[...] = gkbp_a.astype(dtype)
+        gkbw1_ref[...] = gkbw1_a.astype(dtype)
+        gmask_ref[...] = gmask_a.astype(dtype)
+        # weight grads accumulate across grid cells
+        gwy_ref[...] += gwy_a
+        gby_ref[...] += gby_a
+        gw1a_ref[...] += gw1a_a
+        gw2_ref[...] += gw2_a
+        gb2_ref[...] += gb2_a
+        gwr_ref[...] += gwr_a
+        gbr_ref[...] += gbr_a
+        gw3_ref[...] += gw3_a
+        gb3_ref[...] += gb3_a
+
+    return kernel
+
+
+# --------------------------------------------------------------- dispatcher
+
+_W_KEYS = ("wy", "by", "w1a", "w2", "b2", "wr", "br", "w3", "b3")
+
+
+def _layout(statics, kb):
+    (T, S_real, relu, use_gate, read_keep, batch_tile, interpret) = statics
+    B, S, d = kb.shape
+    assert B % 8 == 0, f"fused train requires B % 8 == 0, got {B}"
+    Bt = batch_tile
+    while B % Bt:
+        Bt //= 2
+    Bt = max(Bt, 8)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    Sp = _round_up(S, _sublane(kb.dtype))
+    return B, S, d, Bt, Sp, interpret
+
+
+def _pad_s(x, Sp):
+    B, S, d = x.shape
+    if S == Sp:
+        return x
+    return jnp.pad(x, ((0, 0), (0, Sp - S), (0, 0)))
+
+
+def _specs(T, Bt, Sp, d):
+    tile = lambda *shape: pl.BlockSpec(
+        shape, lambda i: (i,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM)
+    step_tile = lambda *shape: pl.BlockSpec(
+        shape, lambda i: (0, i) + (0,) * (len(shape) - 2),
+        memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    return tile, step_tile, full, smem
+
+
+def _prep_weights(weights, dtype, d):
+    w = {k: jnp.asarray(weights[k]).astype(dtype) for k in _W_KEYS
+         if k not in ("br",)}
+    w["wr128"] = jnp.broadcast_to(
+        jnp.asarray(weights["wr"]).astype(dtype)[:, None], (d, 128))
+    br = jnp.asarray(weights["br"]).reshape(1, 1).astype(jnp.float32)
+    return w, br
+
+
+def _fwd_impl(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
+              mem_mask, seed):
+    (T, S_real, relu, use_gate, read_keep, batch_tile, _) = statics
+    B, S, d, Bt, Sp, interpret = _layout(statics, kb)
+    dtype = kb.dtype
+    kb_p, kbp_p, kbw1_p = (_pad_s(x, Sp) for x in (kb, kbp, kbw1))
+    w, br = _prep_weights(weights, dtype, d)
+    tile, step_tile, full, smem = _specs(T, Bt, Sp, d)
+    kernel = _build_train_fwd_kernel(T, relu, S_real, use_gate, read_keep)
+
+    in_specs = [smem(), tile(Bt, Sp, d), tile(Bt, Sp, d), tile(Bt, Sp, d),
+                step_tile(T, Bt, d)]
+    inputs = [seed.reshape(1).astype(jnp.int32), kb_p, kbp_p, kbw1_p,
+              controls.astype(dtype)]
+    if use_gate:
+        in_specs.append(step_tile(T, Bt, d))
+        inputs.append(gates.astype(dtype))
+    in_specs += [tile(Bt, d), tile(Bt, d)]
+    inputs += [mem0.astype(dtype), mem_mask.astype(dtype)]
+    for key in ("wy", "by", "w1a", "w2", "b2"):
+        in_specs.append(full())
+        inputs.append(w[key])
+    in_specs += [full(), smem(), full(), full()]
+    inputs += [w["wr128"], br, w["w3"], w["b3"]]
+
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024)
+    final, hist = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((B, d), dtype),
+                   jax.ShapeDtypeStruct((T, B, d), dtype)],
+        grid=(B // Bt,),
+        in_specs=in_specs,
+        out_specs=[tile(Bt, d), step_tile(T, Bt, d)],
+        interpret=interpret,
+        compiler_params=compiler_params,
+        cost_estimate=pl.CostEstimate(
+            flops=T * B * Sp * d * d * 2 * 2,
+            bytes_accessed=B * Sp * d * 2 * 3,
+            transcendentals=T * B * Sp),
+    )(*inputs)
+    return final, hist
+
+
+def _bwd_impl(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
+              mem_mask, seed, hist, g_final):
+    (T, S_real, relu, use_gate, read_keep, batch_tile, _) = statics
+    B, S, d, Bt, Sp, interpret = _layout(statics, kb)
+    dtype = kb.dtype
+    kb_p, kbp_p, kbw1_p = (_pad_s(x, Sp) for x in (kb, kbp, kbw1))
+    w, br = _prep_weights(weights, dtype, d)
+    tile, step_tile, full, smem = _specs(T, Bt, Sp, d)
+    kernel = _build_train_bwd_kernel(T, relu, S_real, use_gate, read_keep)
+
+    in_specs = [smem(), tile(Bt, Sp, d), tile(Bt, Sp, d), tile(Bt, Sp, d),
+                step_tile(T, Bt, d)]
+    inputs = [seed.reshape(1).astype(jnp.int32), kb_p, kbp_p, kbw1_p,
+              controls.astype(dtype)]
+    if use_gate:
+        in_specs.append(step_tile(T, Bt, d))
+        inputs.append(gates.astype(dtype))
+    in_specs.append(tile(Bt, d))
+    inputs.append(mem_mask.astype(dtype))
+    for key in ("wy", "by", "w1a", "w2", "b2"):
+        in_specs.append(full())
+        inputs.append(w[key])
+    in_specs += [full(), smem(), full(), full()]
+    inputs += [w["wr128"], br, w["w3"], w["b3"]]
+    in_specs.append(full())
+    inputs.append(jnp.asarray(weights["wr"]).astype(jnp.float32
+                                                    ).reshape(1, d))
+    in_specs += [step_tile(T, Bt, d), tile(Bt, d)]
+    inputs += [hist, g_final.astype(dtype)]
+
+    f32 = jnp.float32
+    out_shape = [
+        jax.ShapeDtypeStruct((B, Sp, d), dtype),      # g_kb
+        jax.ShapeDtypeStruct((B, Sp, d), dtype),      # g_kbp
+        jax.ShapeDtypeStruct((B, Sp, d), dtype),      # g_kbw1
+        jax.ShapeDtypeStruct((T, B, d), dtype),       # g_controls
+    ]
+    out_specs = [tile(Bt, Sp, d), tile(Bt, Sp, d), tile(Bt, Sp, d),
+                 step_tile(T, Bt, d)]
+    if use_gate:
+        out_shape.append(jax.ShapeDtypeStruct((T, B, d), dtype))
+        out_specs.append(step_tile(T, Bt, d))
+    out_shape += [
+        jax.ShapeDtypeStruct((B, d), dtype),          # g_mem0
+        jax.ShapeDtypeStruct((B, d), dtype),          # g_mask
+        jax.ShapeDtypeStruct((d, d), f32),            # g_wy
+        jax.ShapeDtypeStruct((1, d), f32),            # g_by
+        jax.ShapeDtypeStruct((d, d), f32),            # g_w1a
+        jax.ShapeDtypeStruct((d, d), f32),            # g_w2
+        jax.ShapeDtypeStruct((1, d), f32),            # g_b2
+        jax.ShapeDtypeStruct((1, d), f32),            # g_wr
+        jax.ShapeDtypeStruct((1, 1), f32),            # g_br
+        jax.ShapeDtypeStruct((2 * d, d), f32),        # g_w3
+        jax.ShapeDtypeStruct((1, d), f32),            # g_b3
+    ]
+    out_specs += [tile(Bt, d), tile(Bt, d)] + [full()] * 9
+
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=120 * 1024 * 1024)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(B // Bt,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+        compiler_params=compiler_params,
+        cost_estimate=pl.CostEstimate(
+            flops=T * B * Sp * d * d * 2 * 7,
+            bytes_accessed=B * Sp * d * 2 * 6,
+            transcendentals=T * B * Sp),
+    )(*inputs)
+
+    it = iter(outs)
+    g_kb, g_kbp, g_kbw1, g_controls = (next(it) for _ in range(4))
+    g_gates = next(it) if use_gate else None
+    g_mem0, g_mask = next(it), next(it)
+    gw = {k: next(it) for k in ("wy", "by", "w1a", "w2", "b2", "wr")}
+    gw["br"] = next(it).reshape(())
+    gw["w3"], gw["b3"] = next(it), next(it)
+    for k in ("by", "b2", "wr", "b3"):
+        gw[k] = gw[k].reshape(-1)
+    g_weights = {k: gw[k].astype(jnp.asarray(weights[k]).dtype)
+                 for k in _W_KEYS}
+    g_weights["br"] = g_weights["br"].reshape(
+        jnp.asarray(weights["br"]).shape)
+    sl = lambda x: x[:, :S] if Sp != S else x
+    return (g_weights, sl(g_kb), sl(g_kbp), sl(g_kbw1), g_controls,
+            g_gates, g_mem0, g_mask)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def mac_train_recurrence(statics, weights, kb, kbp, kbw1, controls, gates,
+                         mem0, mem_mask, seed):
+    """Differentiable fused MAC memory chain.
+
+    statics: (T, S_real, relu, use_gate, read_keep, batch_tile, interpret)
+    weights: dict over {wy, by, w1a, w2, b2, wr, br, w3, b3} (param-tree
+    dtypes); kb/kbp/kbw1 [B, S, d]; controls/gates [T, B, d]; mem0 /
+    mem_mask [B, d]; seed int32 scalar array (RNG stream for the
+    in-kernel dropout masks).  Returns the final memory [B, d].
+    """
+    final, _ = _fwd_impl(statics, weights, kb, kbp, kbw1, controls, gates,
+                         mem0, mem_mask, seed)
+    return final
+
+
+def _vjp_fwd(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
+             mem_mask, seed):
+    final, hist = _fwd_impl(statics, weights, kb, kbp, kbw1, controls,
+                            gates, mem0, mem_mask, seed)
+    return final, (weights, kb, kbp, kbw1, controls, gates, mem0,
+                   mem_mask, seed, hist)
+
+
+def _vjp_bwd(statics, res, g_final):
+    (weights, kb, kbp, kbw1, controls, gates, mem0, mem_mask, seed,
+     hist) = res
+    (g_weights, g_kb, g_kbp, g_kbw1, g_controls, g_gates, g_mem0,
+     g_mask) = _bwd_impl(statics, weights, kb, kbp, kbw1, controls, gates,
+                         mem0, mem_mask, seed, hist, g_final)
+    g_seed = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
+    return (g_weights, g_kb, g_kbp, g_kbw1, g_controls, g_gates, g_mem0,
+            g_mask, g_seed)
+
+
+mac_train_recurrence.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ------------------------------------------------------------------ engine
+
+class FusedTrainEngine:
+    """Training forward with the fused recurrence: Flax modules for the
+    encoder / stem / output head (their dropouts and backward are cheap
+    and stay in XLA), glue einsums for the loop-independent control unit
+    and write gate, and the custom-VJP kernel pair for the memory chain.
+
+    Exposes ``apply(variables, qs, lengths, images, train=True,
+    rngs={"dropout": key})`` returning (logits, {}), the same contract as
+    ``MACNetwork.apply`` — so ``train.make_train_step(engine, cfg, tx)``
+    builds the fused training step with the identical loss/optimizer
+    plumbing (steps.py).
+    """
+
+    def __init__(self, cfg: Config, embedding_init, batch_tile: int = 16):
+        from mac_network_tpu.models.mac_network import (
+            QuestionEncoder, Stem, OutputUnit, Classifier)
+        assert supports_fused_train(cfg), \
+            "config outside the fused-train envelope; use the XLA path"
+        self.cfg = cfg
+        self.batch_tile = batch_tile
+        self.embedding_init = embedding_init
+        self.encoder = QuestionEncoder(cfg, embedding_init)
+        self.stem = Stem(cfg)
+        self.output = OutputUnit(cfg)
+        self.classifier = Classifier(cfg)
+
+    def apply(self, variables, question_ids, lengths, images,
+              train: bool = True, rngs=None, interpret=None):
+        from mac_network_tpu.ops.pallas.mac_fused import (
+            FusedMACEngine, extract_mac_weights, _apply_linear)
+        from mac_network_tpu.ops.dropout import generate_var_dp_mask
+
+        cfg = self.cfg
+        params = variables["params"]
+        dtype = (jnp.bfloat16 if cfg.computeDtype == "bfloat16"
+                 else jnp.float32)
+        images = images.astype(dtype)
+        T = cfg.netLength
+        d = cfg.memDim
+        key = (rngs or {}).get("dropout", jax.random.key(0))
+        k_enc, k_stem, k_out, k_kb, k_mem, k_seed = jax.random.split(key, 6)
+
+        words_emb, cntx, vec_q, a_emb = self.encoder.apply(
+            {"params": params["qEmbeddings"]}, question_ids, lengths,
+            train=train, rngs={"dropout": k_enc})
+        kb = self.stem.apply({"params": params["stem"]}, images,
+                             train=train, rngs={"dropout": k_stem})
+        B = vec_q.shape[0]
+        mac = params["mac"]
+        weights = extract_mac_weights(cfg, params)
+
+        # ---- loop-independent control unit (serving-engine glue,
+        # reference mac_cell.py:133-187 without the feedPrev merge)
+        shared = _apply_linear(vec_q, mac["qInput"])
+        if cfg.controlInputAct == "TANH":
+            shared = jnp.tanh(shared)
+        elif cfg.controlInputAct == "RELU":
+            shared = _act(shared, cfg.relu)
+        cis = []
+        for i in range(T):
+            k = f"qInput{i}" if cfg.controlInputUnshared else "qInputU"
+            cis.append(_apply_linear(shared, mac[k]))
+        ci = jnp.stack(cis, axis=0)
+        words = cntx if cfg.controlContextual else words_emb
+        L = words.shape[1]
+        wmask = jnp.where(jnp.arange(L)[None, :] < lengths[:, None],
+                          0.0, NEG_INF).astype(jnp.float32)
+        wq = weights["wq"].astype(dtype)
+        qlog = jnp.einsum("tbd,bld->tbl", ci * wq[None, None, :], words,
+                          preferred_element_type=jnp.float32)
+        qlog = qlog + weights["bq"].astype(jnp.float32) + wmask[None]
+        qatt = jax.nn.softmax(qlog, axis=-1).astype(dtype)
+        controls = jnp.einsum("tbl,bld->tbd", qatt, words,
+                              preferred_element_type=jnp.float32
+                              ).astype(dtype)
+
+        gates = None
+        if cfg.writeGate:
+            gw = weights["wg"].astype(dtype)
+            gb = weights["bg"].astype(jnp.float32)
+            glog = jnp.dot(controls, gw, preferred_element_type=jnp.float32)
+            z = jax.nn.sigmoid(glog + gb + cfg.writeGateBias)
+            gates = jnp.broadcast_to(z.astype(dtype), (T, B, d))
+
+        # ---- hoisted KB projections with the step-tied KB dropout mask
+        # (--readVariationalDropout; mac_network.py hoist path)
+        kb_in = kb
+        if train and cfg.readVariationalDropout and cfg.readDropout < 1.0:
+            kb_mask = generate_var_dp_mask(k_kb, kb.shape, cfg.readDropout)
+            kb_in = (kb / cfg.readDropout) * kb_mask.astype(kb.dtype)
+        kbp = _apply_linear(kb_in, {"weight": weights["wpx"],
+                                    "bias": weights["bpx"]})
+        kbw1 = _apply_linear(kbp, {"weight": weights["w1b"],
+                                   "bias": weights["b1"]})
+
+        # ---- variational memory dropout mask, pre-scaled (ones at eval)
+        if train and cfg.memoryVariationalDropout and cfg.memoryDropout < 1.0:
+            m_mask = generate_var_dp_mask(
+                k_mem, (B, d), cfg.memoryDropout) / cfg.memoryDropout
+        else:
+            m_mask = jnp.ones((B, d), jnp.float32)
+
+        def init_state(kind, prm_key, dim):
+            if kind == "PRM":
+                return jnp.broadcast_to(
+                    mac[prm_key].astype(dtype)[None], (B, dim))
+            if kind == "ZERO":
+                return jnp.zeros((B, dim), dtype)
+            return vec_q
+        mem0 = init_state(cfg.initMem, "initMem", cfg.memDim)
+
+        read_keep = float(cfg.readDropout) if train else 1.0
+        statics = (T, kb.shape[1], cfg.relu, bool(cfg.writeGate),
+                   read_keep, self.batch_tile,
+                   interpret)
+        kernel_weights = {
+            "wy": weights["wmem"], "by": weights["bmem"],
+            "w1a": weights["w1a"], "w2": weights["w2"], "b2": weights["b2"],
+            "wr": weights["wr"], "br": weights["br"],
+            "w3": weights["w3"], "b3": weights["b3"]}
+        seed = jax.random.randint(k_seed, (), 0, np.int32(2 ** 31 - 1),
+                                  dtype=jnp.int32)
+        final_memory = mac_train_recurrence(
+            statics, kernel_weights, kb, kbp, kbw1, controls, gates,
+            mem0, m_mask.astype(dtype), seed)
+
+        features = self.output.apply(
+            {"params": params["output"]}, final_memory, vec_q, images,
+            train=train, rngs={"dropout": k_out})
+        logits = self.classifier.apply(
+            {"params": params["classifier"]}, features, a_emb,
+            train=train, rngs={"dropout": k_out})
+        return logits, {}

@@ -63,6 +63,17 @@ def build_state_and_runner(cfg: Config, embeddings, answer_dict):
     state = create_train_state(cfg, variables, tx)
 
     train_step = make_train_step(model, cfg, tx)
+    if cfg.fusedTrain:
+        from mac_network_tpu.ops.pallas import (
+            FusedTrainEngine, supports_fused_train)
+        if supports_fused_train(cfg):
+            # the engine exposes the same .apply contract as the model, so
+            # the loss/optimizer plumbing in steps.py is reused verbatim
+            train_step = make_train_step(
+                FusedTrainEngine(cfg, embeddings), cfg, tx)
+        else:
+            print("main: config outside the fused-train envelope "
+                  "(see ops/pallas/mac_train.py); using the XLA train step")
 
     # multi-host: each process feeds its local rows; globals are assembled
     # via make_array_from_process_local_data (parallel/multihost.py)

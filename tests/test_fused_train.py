@@ -1,0 +1,146 @@
+"""Custom-VJP fused training recurrence (ops/pallas/mac_train.py):
+gradient parity with the XLA path, multi-tile weight-grad accumulation,
+in-kernel dropout behavior, and envelope guards.  Interpret mode on CPU;
+the TPU measurement lives in bench.py / ARCHITECTURE.md."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mac_network_tpu.ops.pallas.mac_train import (
+    FusedTrainEngine, supports_fused_train)
+from tests.test_pallas import fused_cfg, make_model_batch
+
+
+def det_cfg(**overrides):
+    """Fused-envelope config with every dropout disabled (deterministic
+    train step, so fused grads must equal XLA grads exactly)."""
+    cfg = fused_cfg(**overrides)
+    for k in ("encInputDropout", "stemDropout", "qDropout", "memoryDropout",
+              "readDropout", "writeDropout", "outputDropout"):
+        setattr(cfg, k, 1.0)
+    cfg.memoryVariationalDropout = False
+    return cfg
+
+
+def grad_trees(cfg, batch, batch_tile, seed=3):
+    model, emb, variables, qs, lens, imgs = make_model_batch(cfg, batch)
+    engine = FusedTrainEngine(cfg, emb, batch_tile=batch_tile)
+
+    def loss(apply_fn):
+        def f(p):
+            lg, _ = apply_fn({"params": p}, qs, lens, imgs, train=True,
+                             rngs={"dropout": jax.random.key(seed)})
+            return jnp.mean(lg ** 2)
+        return f
+
+    g_xla = jax.grad(loss(model.apply))(variables["params"])
+    g_fused = jax.grad(loss(engine.apply))(variables["params"])
+    return g_xla, g_fused
+
+
+def assert_grads_close(g_xla, g_fused):
+    flat_f = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_leaves_with_path(g_fused)}
+    flat_x = jax.tree_util.tree_leaves_with_path(g_xla)
+    assert len(flat_x) == len(flat_f)
+    for path, v in flat_x:
+        k = jax.tree_util.keystr(path)
+        got = np.asarray(flat_f[k])
+        want = np.asarray(v)
+        scale = np.abs(want).max() + 1e-8
+        np.testing.assert_allclose(
+            got, want, atol=2e-4 + 1e-3 * scale,
+            err_msg=f"grad mismatch at {k}")
+
+
+@pytest.mark.parametrize("gate", [False, True])
+def test_fused_train_grads_match_xla(gate):
+    """Deterministic envelope: every parameter's gradient from the fused
+    fwd+bwd kernels equals the XLA train path."""
+    cfg = det_cfg(writeGate=gate)
+    assert supports_fused_train(cfg)
+    g_xla, g_fused = grad_trees(cfg, batch=8, batch_tile=8)
+    assert_grads_close(g_xla, g_fused)
+
+
+def test_fused_train_multi_tile_accumulation():
+    """B=16 with Bt=8 runs two grid cells; weight grads must accumulate
+    across cells exactly (the init-on-first-cell reduction pattern)."""
+    cfg = det_cfg()
+    g_xla, g_fused = grad_trees(cfg, batch=16, batch_tile=8)
+    assert_grads_close(g_xla, g_fused)
+
+
+def test_fused_train_dropout_semantics():
+    """Parity-semantics dropout (tied KB + variational memory + fresh
+    per-step read dropout via the in-kernel hash RNG): deterministic per
+    seed, stochastic across seeds, finite gradients; eval mode identical
+    to the XLA path."""
+    cfg = fused_cfg(writeGate=True)
+    cfg.memoryVariationalDropout = True
+    cfg.readVariationalDropout = True
+    assert cfg.readDropout < 1.0
+    assert supports_fused_train(cfg)
+    model, emb, variables, qs, lens, imgs = make_model_batch(cfg, 8)
+    engine = FusedTrainEngine(cfg, emb, batch_tile=8)
+
+    def loss(seed):
+        lg, _ = engine.apply({"params": variables["params"]}, qs, lens,
+                             imgs, train=True,
+                             rngs={"dropout": jax.random.key(seed)})
+        return float(jnp.mean(lg ** 2))
+
+    assert loss(5) == loss(5)
+    assert loss(5) != loss(6)
+
+    g = jax.grad(lambda p: jnp.mean(engine.apply(
+        {"params": p}, qs, lens, imgs, train=True,
+        rngs={"dropout": jax.random.key(5)})[0] ** 2))(variables["params"])
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
+
+    lg_e, _ = engine.apply({"params": variables["params"]}, qs, lens, imgs,
+                           train=False)
+    lg_x, _ = model.apply(variables, qs, lens, imgs, train=False)
+    np.testing.assert_allclose(np.asarray(lg_e), np.asarray(lg_x),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_train_steps_reduce_loss():
+    """Ten optimizer steps through make_train_step(engine, ...) reduce the
+    training loss (the full fused step is trainable end-to-end)."""
+    from mac_network_tpu.train import (
+        create_train_state, make_optimizer, make_train_step)
+    cfg = det_cfg()
+    cfg.lr = 3e-3
+    model, emb, variables, qs, lens, imgs = make_model_batch(cfg, 8)
+    engine = FusedTrainEngine(cfg, emb, batch_tile=8)
+    tx = make_optimizer(cfg)
+    state = create_train_state(cfg, variables, tx)
+    step = make_train_step(engine, cfg, tx)
+    batch = {"questions": qs, "questionLengths": lens, "images": imgs,
+             "answers": jnp.zeros((8,), jnp.int32),
+             "mask": jnp.ones((8,), jnp.float32)}
+    losses = []
+    for _ in range(10):
+        state, metrics = step(state, batch, cfg.lr, jax.random.key(7))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_fused_train_envelope():
+    assert supports_fused_train(det_cfg(writeGate=True))
+    # per-step (untied) read dropout stays on the XLA path
+    cfg = fused_cfg()
+    assert cfg.readDropout < 1.0 and not cfg.readVariationalDropout
+    assert not supports_fused_train(cfg)
+    assert not supports_fused_train(det_cfg(writeSelfAtt=True))
+    assert not supports_fused_train(det_cfg(
+        controlFeedPrev=True, controlFeedPrevAtt=True,
+        controlFeedInputs=True, controlContAct="TANH", initCtrl="PRM",
+        controlInputUnshared=False))
+    assert not supports_fused_train(det_cfg(writeGate=True,
+                                            writeGateShared=True))
