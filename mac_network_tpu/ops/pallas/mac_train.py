@@ -298,10 +298,16 @@ def _build_train_bwd_kernel(T, relu_kind, S_real, use_gate, read_keep):
             else:
                 g_nm = g_mem.astype(dtype)
                 g_mem_direct = jnp.zeros((Bt, d), f32)
-            g_parts = jnp.dot(g_nm, w3.T,
-                              preferred_element_type=jnp.float32)
-            gw3_a = gw3_a + jnp.dot(
-                parts.T, g_nm, preferred_element_type=jnp.float32)
+            # every matmul below contracts via dot_general dimension
+            # numbers instead of materializing .T (Mosaic lowers the
+            # transposed-operand forms natively on the MXU; explicit
+            # transposes of [Bt*Sp, d] tiles are real VPU relayouts)
+            g_parts = jax.lax.dot_general(
+                g_nm, w3, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            gw3_a = gw3_a + jax.lax.dot_general(
+                parts, g_nm, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             gb3_a = gb3_a + jnp.sum(g_nm.astype(f32), axis=0,
                                     keepdims=True)
             g_mem_w = g_parts[:, :d]
@@ -310,8 +316,19 @@ def _build_train_bwd_kernel(T, relu_kind, S_real, use_gate, read_keep):
             # ---- info = sum_s att * kb
             gkb_a = gkb_a + (f["attd"].astype(f32)
                              * g_info[:, None, :].astype(f32))
-            g_att = jnp.sum(kb.astype(f32) * g_info[:, None, :].astype(f32),
-                            axis=-1, keepdims=True)     # [Bt, Sp, 1] f32
+            # g_att[b,s] = sum_d kb[b,s,d] * g_info[b,d]: a 512-way
+            # cross-lane VPU reduce per element if done as sum(kb*g_info).
+            # Instead run ONE small MXU matmul against ALL batch rows'
+            # g_info and pick the matching column (6.8 MFLOP vs ~5 ms of
+            # lane reduces over the whole loop):
+            G = jax.lax.dot_general(
+                kb.reshape(Bt * Sp, d), g_info, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)           # [Bt*Sp, Bt]
+            G3 = G.reshape(Bt, Sp, Bt)
+            own = (jax.lax.broadcasted_iota(jnp.int32, (Bt, 1, Bt), 0)
+                   == jax.lax.broadcasted_iota(jnp.int32, (Bt, 1, Bt), 2))
+            g_att = jnp.sum(jnp.where(own, G3, 0.0), axis=-1,
+                            keepdims=True)              # [Bt, Sp, 1] f32
             # softmax backward (over the Sp axis)
             attc = f["attd"].astype(f32)                # [Bt, Sp, 1]
             dot_s = jnp.sum(attc * g_att, axis=1, keepdims=True)
@@ -335,20 +352,23 @@ def _build_train_bwd_kernel(T, relu_kind, S_real, use_gate, read_keep):
                 g_epre * f["h2"].reshape(Bt, Sp, d), axis=1)[None]
 
             # ---- h2 = act(h) @ w2 + b2
-            g_a = jnp.dot(g_h2, w2.T,
-                          preferred_element_type=jnp.float32).astype(dtype)
-            gw2_a = gw2_a + jnp.dot(
-                f["a"].T, g_h2, preferred_element_type=jnp.float32)
+            g_a = jax.lax.dot_general(
+                g_h2, w2, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dtype)
+            gw2_a = gw2_a + jax.lax.dot_general(
+                f["a"], g_h2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             gb2_a = gb2_a + jnp.sum(g_h2.astype(f32), axis=0,
                                     keepdims=True)
             g_h = g_a * _act_grad(f["h"], f["a"], relu_kind, dtype)
 
             # ---- h = inter2 @ w1a + kbw1
-            g_inter2 = jnp.dot(g_h, w1a.T,
-                               preferred_element_type=jnp.float32
-                               ).astype(dtype)
-            gw1a_a = gw1a_a + jnp.dot(
-                f["inter2"].T, g_h, preferred_element_type=jnp.float32)
+            g_inter2 = jax.lax.dot_general(
+                g_h, w1a, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dtype)
+            gw1a_a = gw1a_a + jax.lax.dot_general(
+                f["inter2"], g_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             gkbw1_a = gkbw1_a + g_h.reshape(Bt, Sp, d).astype(f32)
 
             # ---- inter = kbp * y
@@ -419,11 +439,13 @@ def _build_train_bwd_kernel(T, relu_kind, S_real, use_gate, read_keep):
 _W_KEYS = ("wy", "by", "w1a", "w2", "b2", "wr", "br", "w3", "b3")
 
 
-def _layout(statics, kb):
+def _layout(statics, kb, bwd: bool = False):
     (T, S_real, relu, use_gate, read_keep, batch_tile, interpret) = statics
     B, S, d = kb.shape
     assert B % 8 == 0, f"fused train requires B % 8 == 0, got {B}"
-    Bt = batch_tile
+    # the backward keeps three KB-sized f32 accumulators per tile in VMEM,
+    # so its tile is capped at 8 (Bt=16 measures 139.9M > 128M vmem)
+    Bt = min(batch_tile, 8) if bwd else batch_tile
     while B % Bt:
         Bt //= 2
     Bt = max(Bt, 8)
@@ -511,7 +533,7 @@ def _fwd_impl(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
 def _bwd_impl(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
               mem_mask, seed, hist, g_final):
     (T, S_real, relu, use_gate, read_keep, batch_tile, _) = statics
-    B, S, d, Bt, Sp, interpret = _layout(statics, kb)
+    B, S, d, Bt, Sp, interpret = _layout(statics, kb, bwd=True)
     dtype = kb.dtype
     kb_p, kbp_p, kbw1_p = (_pad_s(x, Sp) for x in (kb, kbp, kbw1))
     w, br = _prep_weights(weights, dtype, d)
