@@ -276,6 +276,16 @@ class Config:
                                     # recurrence during TRAINING too,
                                     # cutting ~1/3 of train-step FLOPs.
     usePallas: bool = False         # fused Pallas MAC-step kernel on TPU
+                                    # (forces servingEngine=pallas)
+    servingEngine: str = "auto"     # serve.py path: auto picks the fused
+                                    # Pallas engine in its measured
+                                    # winning regime (batchSize <=
+                                    # SMALL_BATCH_CROSSOVER, where the
+                                    # recurrence is HBM-bound and the
+                                    # engine's 3.3x-lower traffic pays;
+                                    # BENCH_r03 serve_sweep) and the XLA
+                                    # path at large batch (MXU-bound,
+                                    # where XLA runs at matmul roofline)
     fusedTrain: bool = False        # custom-VJP fused TRAINING recurrence
                                     # (ops/pallas/mac_train.py): keeps the
                                     # read chain in VMEM through fwd+bwd.
@@ -417,6 +427,7 @@ class Config:
 
 _CHOICES = {
     "dataset": ["CLEVR", "NLVR"],
+    "servingEngine": ["auto", "xla", "pallas"],
     # Deviation from the reference: its choices list contains the broken
     # single string "questionLength, programLength" (reference:
     # config.py:149), making those two groupers unreachable from the CLI.

@@ -30,6 +30,26 @@ import time
 
 import numpy as np
 
+# Measured on TPU v5e, flagship netLength=16 bf16 (BENCH_r03 serve_sweep;
+# min latency over 5 trials x 100 iters — single-trial numbers vary +-30%
+# through the tunnel): the fused engine beats XLA at B=16 (1.01 vs
+# 1.08 ms) and B=32 (1.63 vs 1.69), ties within noise at B<=8 (0.72 vs
+# 0.70 at B=1), and loses from B=64 up (2.93 vs 2.74) where the
+# recurrence turns MXU-bound and XLA runs at the matmul roofline.
+SMALL_BATCH_CROSSOVER = 32
+
+
+def resolve_engine(cfg, backend: str) -> str:
+    """--servingEngine {auto,xla,pallas}; --usePallas forces pallas.
+    ``auto`` picks the fused engine only in its measured winning regime
+    (small batch on a real TPU); everywhere else the XLA path."""
+    if cfg.usePallas:
+        return "pallas"
+    if cfg.servingEngine != "auto":
+        return cfg.servingEngine
+    return ("pallas" if backend == "tpu"
+            and cfg.batchSize <= SMALL_BATCH_CROSSOVER else "xla")
+
 
 def serve(cfg, input_path: str, output_path: str, tier: str = "val",
           get_att: bool = False) -> dict:
@@ -100,6 +120,20 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
         print(f"serve: single-device serving on {jax.devices()[0]} "
               f"({len(jax.devices())} devices visible; use main.py for "
               f"multi-chip)", file=sys.stderr)
+
+    # engine selection: "auto" picks the fused engine in its MEASURED
+    # winning regime — small batches on a real TPU, where the step is
+    # HBM-bound and the engine's KB-resident recurrence moves 3.3x fewer
+    # bytes/question (BENCH_r03: 4.23 vs 14.06 MB/q; B=16 latency 1.01
+    # vs 1.08 ms, B=32 1.63 vs 1.69, tie at B<=8) — and the XLA path at
+    # large batch, where the recurrence is MXU-bound and XLA already
+    # runs at the matmul roofline (ARCHITECTURE.md).
+    choice = resolve_engine(cfg, jax.default_backend())
+    if cfg.servingEngine == "auto" and not cfg.usePallas:
+        print(f"serve: engine=auto -> {choice} at batchSize "
+              f"{cfg.batchSize} (crossover {SMALL_BATCH_CROSSOVER})",
+              file=sys.stderr)
+    cfg.usePallas = choice == "pallas"
 
     # the fused engine serves attention maps via its memory-history debug
     # output for the hoisted-control kernels; controlFeedPrev (args1) keeps

@@ -7,6 +7,32 @@ import os
 import pytest
 
 
+def test_resolve_engine():
+    """auto picks the fused engine only in its measured winning regime:
+    small batch (<= crossover) on a real TPU (BENCH_r03 serve_sweep)."""
+    from serve import resolve_engine, SMALL_BATCH_CROSSOVER
+    from mac_network_tpu.config import Config
+
+    cfg = Config()
+    assert cfg.servingEngine == "auto"
+    cfg.batchSize = 8
+    assert resolve_engine(cfg, "tpu") == "pallas"
+    assert resolve_engine(cfg, "cpu") == "xla"       # interpret mode never
+    cfg.batchSize = SMALL_BATCH_CROSSOVER
+    assert resolve_engine(cfg, "tpu") == "pallas"
+    cfg.batchSize = SMALL_BATCH_CROSSOVER + 1
+    assert resolve_engine(cfg, "tpu") == "xla"
+    # explicit choices override the heuristic
+    cfg.servingEngine = "pallas"
+    assert resolve_engine(cfg, "cpu") == "pallas"
+    cfg.servingEngine = "xla"
+    cfg.batchSize = 1
+    assert resolve_engine(cfg, "tpu") == "xla"
+    # legacy --usePallas wins over everything
+    cfg.usePallas = True
+    assert resolve_engine(cfg, "cpu") == "pallas"
+
+
 def test_serve_roundtrip(tmp_path):
     from main import main
     from mac_network_tpu.data.synthetic import write_synthetic_dataset
