@@ -248,6 +248,35 @@ def main():
     train_mfu = ((train_flops / train_dt) / V5E_PEAK_BF16
                  if train_flops else None)
 
+    # ---------------- PARITY-semantics fused training (--fusedTrain at
+    # the reference's fresh per-step KB dropout masks, kb_fresh mode):
+    # same FLOPs as the XLA parity step, but the whole read chain —
+    # including the per-step KB projections — runs fwd+bwd in VMEM.
+    # MFU uses the XLA parity program's cost-analysis FLOPs.
+    train_fused_ex_s = train_fused_mfu = None
+    try:
+        from mac_network_tpu.ops.pallas import (
+            FusedTrainEngine, supports_fused_train)
+        if supports_fused_train(cfg) and jax.default_backend() != "cpu":
+            fused_parity_step = make_train_step(
+                FusedTrainEngine(cfg, model_t.embedding_init), cfg, tx)
+            st_p = create_train_state(
+                cfg, {"params": jax.tree_util.tree_map(
+                    jnp.array, variables_t["params"])}, tx)
+
+            def pstep():
+                nonlocal st_p
+                st_p, m = fused_parity_step(st_p, t_batch, cfg.lr, rng)
+                return m["loss"]
+
+            dt_fp = _timed(pstep, fence, 20)
+            train_fused_ex_s = train_batch / dt_fp
+            if train_flops:
+                train_fused_mfu = (train_flops / dt_fp) / V5E_PEAK_BF16
+    except Exception as e:
+        print(f"# fused parity train skipped: {type(e).__name__}: {e}",
+              flush=True)
+
     # ---------------- tied-KB training (--readVariationalDropout, the
     # recommended fast recipe): XLA step vs the custom-VJP fused
     # recurrence (--fusedTrain, ops/pallas/mac_train.py).  Both paths run
@@ -323,6 +352,8 @@ def main():
         "train_flops_per_ex": (rnd(train_flops / train_batch, 0)
                                if train_flops else None),
         "train_mfu": rnd(train_mfu, 4),
+        "train_fused_ex_s": rnd(train_fused_ex_s),
+        "train_fused_mfu": rnd(train_fused_mfu, 4),
         "train_tied": tied or None,
     }))
 

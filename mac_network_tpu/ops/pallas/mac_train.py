@@ -26,10 +26,22 @@ that traffic the flash-attention way:
     stance as --prngImpl, PARITY.md).
 
 Envelope (``supports_fused_train``): the serving envelope minus
-controlFeedPrev / writeSelfAtt / writeGateShared, with step-tied KB
-dropout (--readVariationalDropout, or readDropout == 1) and variational
-memory dropout (or none) — i.e. the recommended fast training recipe.
-Exact per-step-KB-dropout parity training keeps the XLA path.
+controlFeedPrev / writeSelfAtt / writeGateShared, with variational
+memory dropout (or none).  BOTH KB-dropout semantics are implemented:
+
+  * step-tied masks (--readVariationalDropout): the two KB projections
+    hoist out of the recurrence (XLA, once) and enter the kernel
+    pre-computed — the fast recipe;
+  * the reference's fresh per-step masks (kb_fresh mode, reference
+    mac_cell.py:257-260): the kernel draws a fresh KB mask and runs
+    BOTH projections in-kernel every step, fwd and bwd — exact
+    reference dropout semantics at far less HBM traffic than the XLA
+    parity step, whose per-step [B, S, d] projections and their
+    residuals all round-trip HBM.
+
+All in-kernel masks are drawn by GLOBAL batch row + per-step salt, so
+they are invariant to the grid tiling — the backward runs a smaller
+batch tile (VMEM) yet replays the forward's masks exactly.
 
 Reference semantics transcribed: mac_cell.py:209-277 (read),
 mac_cell.py:305-375 (write), model.py:447-458 (unrolled recurrence).
@@ -53,64 +65,130 @@ from mac_network_tpu.ops.pallas.mac_fused import (
 
 def supports_fused_train(cfg: Config) -> bool:
     """Flag envelope the fused training recurrence implements exactly
-    (see module docstring for what falls back to the XLA path)."""
+    (see module docstring for what falls back to the XLA path).  Both
+    KB-dropout semantics are covered: step-tied masks
+    (--readVariationalDropout, hoisted projections) and the reference's
+    fresh per-step masks (in-kernel per-step projections, kb_fresh
+    mode)."""
     return (
         supports_fused_config(cfg)
         and not cfg.controlFeedPrev
         and not cfg.writeSelfAtt
         and not (cfg.writeGate and cfg.writeGateShared)
         and cfg.writeDropout >= 1.0
-        and (cfg.readDropout >= 1.0 or cfg.readVariationalDropout)
         and (cfg.memoryDropout >= 1.0 or cfg.memoryVariationalDropout)
     )
 
 
 # ------------------------------------------------------------- in-kernel RNG
 
-def _hash_uniform(shape, salt, extra: int):
-    """Counter-based uniform [0, 1) from pure vector int32 ops (works in
-    Mosaic and interpret mode; no pltpu.prng needed).  ``salt`` is a
-    traced int32 scalar; ``extra`` a static stream id.  Quality is
-    xorshift-multiply grade — ample for dropout masks."""
-    idx = jnp.zeros(shape, jnp.int32)
+def _flat_idx(shape, base):
+    """GLOBAL flat element index (int32) of every element in a tile whose
+    first element has flat index ``base`` (traced scalar).  Mask draws key
+    off this index, so they are invariant to the grid tiling — the
+    backward kernel runs a different batch tile than the forward (VMEM)
+    and must replay the forward's masks exactly.  Built ONCE per kernel
+    invocation (outside the time loop — it is step-invariant; only the
+    salt changes per step, which keeps the in-loop RNG to the mix rounds
+    instead of rebuilding the index every step)."""
+    idx = jnp.full(shape, base, jnp.int32)
     stride = 1
     for axis in range(len(shape) - 1, -1, -1):
         idx = idx + jax.lax.broadcasted_iota(jnp.int32, shape, axis) * stride
         stride *= shape[axis]
-    def _i32(v: int) -> np.int32:               # wrap to two's complement
-        v &= 0xFFFFFFFF
-        return np.int32(v - (1 << 32) if v >= (1 << 31) else v)
+    return idx
 
+
+def _i32(v: int) -> np.int32:                   # wrap to two's complement
+    v &= 0xFFFFFFFF
+    return np.int32(v - (1 << 32) if v >= (1 << 31) else v)
+
+
+def _mix(idx, salt, extra: int):
+    """Counter-based 32-bit mix from pure vector int32 ops (works in
+    Mosaic and interpret mode; no pltpu.prng needed).  ``salt`` is a
+    traced int32 scalar; ``extra`` a static stream id.  Quality is
+    murmur3-finalizer grade — ample for dropout masks."""
     x = idx * jnp.int32(-1640531527)            # 0x9E3779B9 (wraps)
-    x = x + jnp.full(shape, salt + _i32(extra * 1315423911), jnp.int32)
+    x = x + jnp.full(idx.shape, salt + _i32(extra * 1315423911), jnp.int32)
     for c in (-862048943, -1028477387):         # murmur3-style mix rounds
         x = x ^ jax.lax.shift_right_logical(x, 16)
         x = x * jnp.int32(c)
-    x = x ^ jax.lax.shift_right_logical(x, 16)
-    mant = jax.lax.shift_right_logical(x, 9)    # 23 uniform bits
-    return mant.astype(jnp.float32) * jnp.float32(1.0 / (1 << 23))
+    return x ^ jax.lax.shift_right_logical(x, 16)
 
 
-def _keep_mask(shape, salt, extra: int, keep: float, dtype):
-    """Inverted-dropout mask: 1/keep with prob ``keep`` else 0."""
-    u = _hash_uniform(shape, salt, extra)
-    keep_arr = jnp.full(shape, keep, jnp.float32)
+def _bits_mask(x, shift: int, keep: float, dtype):
+    """Inverted-dropout mask (1/keep with prob ``keep`` else 0) from an
+    11-bit field of a mixed word.  11 uniform bits quantize the keep
+    threshold to 1/2048 — ample resolution for dropout."""
+    mant = jax.lax.shift_right_logical(x, shift)
+    if shift != 21:                             # not the top field: mask it
+        mant = mant & jnp.int32(0x7FF)
+    u = mant.astype(jnp.float32) * jnp.float32(1.0 / (1 << 11))
+    keep_arr = jnp.full(x.shape, keep, jnp.float32)
     scale = jnp.asarray(1.0 / keep, jnp.float32)
     return jnp.where(u < keep_arr, scale, 0.0).astype(dtype)
 
 
+def _keep_mask(idx, salt, extra: int, keep: float, dtype):
+    """One dropout mask keyed by (global element index, salt, stream)."""
+    return _bits_mask(_mix(idx, salt, extra), 21, keep, dtype)
+
+
+def _keep_mask_pair(idx, salt, extra: int, keep: float, dtype):
+    """TWO independent dropout masks from ONE mix (bit fields 21..31 and
+    10..20).  The mask draws are the kernels' dominant VPU cost — they run
+    inside the time loop and are re-drawn during the backward's
+    recompute — so the fresh-KB chain's two same-shaped masks share a
+    single hash."""
+    x = _mix(idx, salt, extra)
+    return (_bits_mask(x, 21, keep, dtype), _bits_mask(x, 10, keep, dtype))
+
+
 # ------------------------------------------------------------------ kernels
 
-def _fwd_chain(t, memory, kb, kbp, kbw1, ctrl, mem_mask, salt,
+def _fwd_chain(t, memory, kb, kbp, kbw1, ctrl, mem_mask, salt, idx3, idx2,
                wy, by, w1a, w2, b2, wr128, br, pad_mask,
-               relu_kind, read_keep, dtype):
+               relu_kind, read_keep, dtype, kb_proj=None):
     """Recompute (or compute) one step's read chain from the step-entry
-    memory.  Returns every intermediate the backward needs.
+    memory.  Returns every intermediate the backward needs.  ``salt`` is
+    tile-independent (per-step only); ``idx3``/``idx2`` are the
+    loop-invariant GLOBAL flat-index arrays ([Bt, Sp, d] / [Bt, d],
+    built once per kernel by _flat_idx), so every mask draw is invariant
+    to the grid tiling (the backward runs a different tile and must
+    replay the forward's masks).
+
+    ``kb_proj``: fresh-KB (exact reference parity) mode — a tuple
+    (wpx, bpx, w1b, b1); kbp/kbw1 args are then None and both KB
+    projections are computed HERE each step from a fresh per-step KB
+    dropout mask (reference mac_cell.py:257-260: xx = dropout(KB) then
+    projX, re-drawn every step), instead of arriving pre-hoisted with the
+    step-tied mask.
     Reference: mac_cell.py:209-277 with the train-time dropouts."""
     Bt, Sp, d = kb.shape
+    kb_mask = e_mask = None
+    if kb_proj is not None:
+        wpx, bpx, w1b, b1 = kb_proj
+        if read_keep < 1.0:
+            # one mix feeds BOTH same-shaped masks of the fresh-KB chain
+            kb_mask, e_mask = _keep_mask_pair(idx3, salt, 2, read_keep,
+                                              dtype)
+            xx = kb * kb_mask
+        else:
+            xx = kb
+        kbp_f = (jnp.dot(xx.reshape(Bt * Sp, d), wpx,
+                         preferred_element_type=jnp.float32
+                         ).astype(dtype) + bpx)
+        kbw1_f = (jnp.dot(kbp_f, w1b,
+                          preferred_element_type=jnp.float32
+                          ).astype(dtype) + b1)
+        kbp = kbp_f.reshape(Bt, Sp, d)
+        kbw1 = kbw1_f.reshape(Bt, Sp, d)
+    else:
+        xx = None
     m_in = memory * mem_mask                    # variational memory dropout
     if read_keep < 1.0:
-        y_mask = _keep_mask((Bt, d), salt, 1, read_keep, dtype)
+        y_mask = _keep_mask(idx2, salt, 1, read_keep, dtype)
         y0 = m_in * y_mask
     else:
         y_mask = None
@@ -129,10 +207,10 @@ def _fwd_chain(t, memory, kb, kbp, kbw1, ctrl, mem_mask, salt,
     e_pre = h2.reshape(Bt, Sp, d) * ctrl[:, None, :]
     e = _act(e_pre, relu_kind)
     if read_keep < 1.0:
-        e_mask = _keep_mask((Bt, Sp, d), salt, 2, read_keep, dtype)
+        if e_mask is None:                      # tied mode: single draw
+            e_mask = _keep_mask(idx3, salt, 2, read_keep, dtype)
         e_drop = e * e_mask
     else:
-        e_mask = None
         e_drop = e
     r = jnp.dot(e_drop.reshape(Bt * Sp, d), wr128,
                 preferred_element_type=jnp.float32)     # [Bt*Sp, 128] f32
@@ -144,7 +222,8 @@ def _fwd_chain(t, memory, kb, kbp, kbw1, ctrl, mem_mask, salt,
     info = jnp.sum(attd * kb, axis=1).astype(dtype)     # [Bt, d]
     return dict(m_in=m_in, y_mask=y_mask, y0=y0, y=y, inter2=inter2,
                 h=h, a=a, h2=h2, e_pre=e_pre, e=e, e_mask=e_mask,
-                e_drop=e_drop, attd=attd, info=info)
+                e_drop=e_drop, attd=attd, info=info,
+                xx=xx, kbp=kbp, kb_mask=kb_mask)
 
 
 def _act_grad(pre, out, relu_kind, dtype):
@@ -164,17 +243,25 @@ def _act_grad(pre, out, relu_kind, dtype):
     return jnp.maximum(jnp.sign(pre), jnp.asarray(0.0, dtype))
 
 
-def _build_train_fwd_kernel(T, relu_kind, S_real, use_gate, read_keep):
+def _build_train_fwd_kernel(T, relu_kind, S_real, use_gate, read_keep,
+                            kb_fresh):
     def kernel(*refs):
         it = iter(refs)
         seed_ref = next(it)                    # SMEM [1]
-        kb_ref, kbp_ref, kbw1_ref = (next(it) for _ in range(3))
+        kb_ref = next(it)
+        if kb_fresh:
+            kbp_ref = kbw1_ref = None
+        else:
+            kbp_ref, kbw1_ref = next(it), next(it)
         ctrl_ref = next(it)                    # [T, Bt, d]
         gates_ref = next(it) if use_gate else None
         mem0_ref = next(it)
         mask_ref = next(it)                    # [Bt, d] scaled mem mask
         wy_ref, by_ref, w1a_ref, w2_ref, b2_ref = (
             next(it) for _ in range(5))
+        if kb_fresh:
+            wpx_ref, bpx_ref, w1b_ref, b1_ref = (
+                next(it) for _ in range(4))
         wr_ref, br_ref, w3_ref, b3_ref = (next(it) for _ in range(4))
         out_ref = next(it)                     # [Bt, d] final memory
         hist_ref = next(it)                    # [T, Bt, d] step-entry mems
@@ -182,8 +269,14 @@ def _build_train_fwd_kernel(T, relu_kind, S_real, use_gate, read_keep):
         Bt, Sp, d = kb_ref.shape
         dtype = kb_ref.dtype
         kb = kb_ref[...]
-        kbp = kbp_ref[...]
-        kbw1 = kbw1_ref[...]
+        if kb_fresh:
+            kbp = kbw1 = None
+            kb_proj = (wpx_ref[...], bpx_ref[...],
+                       w1b_ref[...], b1_ref[...])
+        else:
+            kbp = kbp_ref[...]
+            kbw1 = kbw1_ref[...]
+            kb_proj = None
         mem_mask = mask_ref[...]
         wy, w1a, w2 = wy_ref[...], w1a_ref[...], w2_ref[...]
         by = by_ref[...]
@@ -192,16 +285,23 @@ def _build_train_fwd_kernel(T, relu_kind, S_real, use_gate, read_keep):
         br = br_ref[0, 0]
         w3, b3 = w3_ref[...], b3_ref[...]
         i = pl.program_id(0)
+        row0 = i * jnp.int32(Bt)
+        if read_keep < 1.0:                     # loop-invariant RNG indices
+            idx3 = _flat_idx((Bt, Sp, d), row0 * jnp.int32(Sp * d))
+            idx2 = _flat_idx((Bt, d), row0 * jnp.int32(d))
+        else:
+            idx3 = idx2 = None
         pad_mask = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (1, Sp, 1), 1) < S_real,
             0.0, NEG_INF).astype(jnp.float32)
 
         def step(t, memory):
             hist_ref[pl.ds(t, 1)] = memory[None]
-            salt = seed_ref[0] + (i * jnp.int32(T) + t) * jnp.int32(9973)
+            salt = seed_ref[0] + t * jnp.int32(9973)
             f = _fwd_chain(t, memory, kb, kbp, kbw1, ctrl_ref[t],
-                           mem_mask, salt, wy, by, w1a, w2, b2, wr128, br,
-                           pad_mask, relu_kind, read_keep, dtype)
+                           mem_mask, salt, idx3, idx2, wy, by, w1a, w2, b2,
+                           wr128, br, pad_mask, relu_kind, read_keep,
+                           dtype, kb_proj=kb_proj)
             parts = jnp.concatenate([memory, f["info"]], axis=-1)
             new_mem = jnp.dot(parts, w3,
                               preferred_element_type=jnp.float32
@@ -216,35 +316,56 @@ def _build_train_fwd_kernel(T, relu_kind, S_real, use_gate, read_keep):
     return kernel
 
 
-def _build_train_bwd_kernel(T, relu_kind, S_real, use_gate, read_keep):
+def _build_train_bwd_kernel(T, relu_kind, S_real, use_gate, read_keep,
+                            kb_fresh):
     def kernel(*refs):
         it = iter(refs)
         seed_ref = next(it)
-        kb_ref, kbp_ref, kbw1_ref = (next(it) for _ in range(3))
+        kb_ref = next(it)
+        if kb_fresh:
+            kbp_ref = kbw1_ref = None
+        else:
+            kbp_ref, kbw1_ref = next(it), next(it)
         ctrl_ref = next(it)
         gates_ref = next(it) if use_gate else None
         mask_ref = next(it)
         wy_ref, by_ref, w1a_ref, w2_ref, b2_ref = (
             next(it) for _ in range(5))
+        if kb_fresh:
+            wpx_ref, bpx_ref, w1b_ref, b1_ref = (
+                next(it) for _ in range(4))
         wr_ref, br_ref, w3_ref, b3_ref = (next(it) for _ in range(4))
         wr_row_ref = next(it)                  # [1, d] f32
         hist_ref = next(it)                    # [T, Bt, d]
         gout_ref = next(it)                    # [Bt, d] d(final memory)
         # outputs
-        gkb_ref, gkbp_ref, gkbw1_ref = (next(it) for _ in range(3))
+        gkb_ref = next(it)
+        if kb_fresh:
+            gkbp_ref = gkbw1_ref = None
+        else:
+            gkbp_ref, gkbw1_ref = next(it), next(it)
         gctrl_ref = next(it)                   # [T, Bt, d]
         ggate_ref = next(it) if use_gate else None
         gmem0_ref = next(it)
         gmask_ref = next(it)                   # [Bt, d] d(mem_mask)
         gwy_ref, gby_ref, gw1a_ref, gw2_ref, gb2_ref = (
             next(it) for _ in range(5))
+        if kb_fresh:
+            gwpx_ref, gbpx_ref, gw1b_ref, gb1_ref = (
+                next(it) for _ in range(4))
         gwr_ref, gbr_ref, gw3_ref, gb3_ref = (next(it) for _ in range(4))
 
         Bt, Sp, d = kb_ref.shape
         dtype = kb_ref.dtype
         kb = kb_ref[...]
-        kbp = kbp_ref[...]
-        kbw1 = kbw1_ref[...]
+        if kb_fresh:
+            kbp = kbw1 = None
+            kb_proj = (wpx_ref[...], bpx_ref[...],
+                       w1b_ref[...], b1_ref[...])
+        else:
+            kbp = kbp_ref[...]
+            kbw1 = kbw1_ref[...]
+            kb_proj = None
         mem_mask = mask_ref[...]
         wy, w1a, w2 = wy_ref[...], w1a_ref[...], w2_ref[...]
         by = by_ref[...]
@@ -261,27 +382,38 @@ def _build_train_bwd_kernel(T, relu_kind, S_real, use_gate, read_keep):
         # weight-grad accumulators are shared across grid cells
         # ("arbitrary" semantics keeps the (0,..) blocks resident):
         # zero them on the first cell only
+        weight_grad_refs = [gwy_ref, gby_ref, gw1a_ref, gw2_ref, gb2_ref,
+                            gwr_ref, gbr_ref, gw3_ref, gb3_ref]
+        if kb_fresh:
+            weight_grad_refs += [gwpx_ref, gbpx_ref, gw1b_ref, gb1_ref]
+
         @pl.when(i == 0)
         def _init():
-            for ref in (gwy_ref, gby_ref, gw1a_ref, gw2_ref, gb2_ref,
-                        gwr_ref, gbr_ref, gw3_ref, gb3_ref):
+            for ref in weight_grad_refs:
                 ref[...] = jnp.zeros_like(ref)
 
         f32 = jnp.float32
         zero3 = jnp.zeros((Bt, Sp, d), f32)
         zero2 = jnp.zeros((Bt, d), f32)
+        row0 = i * jnp.int32(Bt)
+        if read_keep < 1.0:                     # loop-invariant RNG indices
+            idx3 = _flat_idx((Bt, Sp, d), row0 * jnp.int32(Sp * d))
+            idx2 = _flat_idx((Bt, d), row0 * jnp.int32(d))
+        else:
+            idx3 = idx2 = None
 
         def step(k, carry):
             t = T - 1 - k
             (g_mem, gkb_a, gkbp_a, gkbw1_a, gmask_a,
              gwy_a, gby_a, gw1a_a, gw2_a, gb2_a, gwr_a, gbr_a,
-             gw3_a, gb3_a) = carry
+             gw3_a, gb3_a, gpx_a) = carry
             memory = hist_ref[t]
             ctrl = ctrl_ref[t]
-            salt = seed_ref[0] + (i * jnp.int32(T) + t) * jnp.int32(9973)
+            salt = seed_ref[0] + t * jnp.int32(9973)
             f = _fwd_chain(t, memory, kb, kbp, kbw1, ctrl, mem_mask, salt,
-                           wy, by, w1a, w2, b2, wr128, br, pad_mask,
-                           relu_kind, read_keep, dtype)
+                           idx3, idx2, wy, by, w1a, w2, b2, wr128, br,
+                           pad_mask, relu_kind, read_keep, dtype,
+                           kb_proj=kb_proj)
 
             # ---- write unit backward (reference: mac_cell.py:333-367)
             parts = jnp.concatenate([memory, f["info"]], axis=-1)
@@ -369,16 +501,49 @@ def _build_train_bwd_kernel(T, relu_kind, S_real, use_gate, read_keep):
             gw1a_a = gw1a_a + jax.lax.dot_general(
                 f["inter2"], g_h, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            gkbw1_a = gkbw1_a + g_h.reshape(Bt, Sp, d).astype(f32)
-
-            # ---- inter = kbp * y
             g_inter3 = g_inter2.reshape(Bt, Sp, d)
-            gkbp_a = gkbp_a + (g_inter3.astype(f32)
+            if kb_fresh:
+                # fresh-KB mode: g_h IS d(kbw1) = d(kbp @ w1b + b1); chain
+                # through both in-kernel projections back to the raw KB
+                wpx_v, _, w1b_v, _ = kb_proj
+                (gwpx_a, gbpx_a, gw1b_a, gb1_a) = gpx_a
+                kbp_flat = f["kbp"].reshape(Bt * Sp, d)
+                gb1_a = gb1_a + jnp.sum(g_h.astype(f32), axis=0,
+                                        keepdims=True)
+                gw1b_a = gw1b_a + jax.lax.dot_general(
+                    kbp_flat, g_h, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                g_kbp_w1 = jax.lax.dot_general(
+                    g_h, w1b_v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dtype)
+                # ---- inter = kbp * y (the other consumer of kbp)
+                g_kbp_flat = ((g_inter3.astype(f32)
                                * f["y"][:, None, :].astype(f32))
+                              .astype(dtype).reshape(Bt * Sp, d)
+                              + g_kbp_w1)
+                gbpx_a = gbpx_a + jnp.sum(g_kbp_flat.astype(f32), axis=0,
+                                          keepdims=True)
+                gwpx_a = gwpx_a + jax.lax.dot_general(
+                    f["xx"].reshape(Bt * Sp, d), g_kbp_flat,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                g_xx = jax.lax.dot_general(
+                    g_kbp_flat, wpx_v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32).reshape(Bt, Sp, d)
+                if f["kb_mask"] is not None:
+                    gkb_a = gkb_a + g_xx * f["kb_mask"].astype(f32)
+                else:
+                    gkb_a = gkb_a + g_xx
+                gpx_a = (gwpx_a, gbpx_a, gw1b_a, gb1_a)
+            else:
+                gkbw1_a = gkbw1_a + g_h.reshape(Bt, Sp, d).astype(f32)
+                # ---- inter = kbp * y
+                gkbp_a = gkbp_a + (g_inter3.astype(f32)
+                                   * f["y"][:, None, :].astype(f32))
             # NB: the Sp-axis reduction result carries a replicated Mosaic
             # layout that convert_element_type cannot relayout — so reduce
             # IN f32 and keep every downstream op f32 (tiny [Bt, d] math)
-            prod32 = (g_inter3 * kbp).astype(f32)
+            prod32 = (g_inter3 * f["kbp"]).astype(f32)
             g_y32 = jnp.sum(prod32, axis=1)                  # [Bt, d] f32
 
             # ---- y = y0 @ wy + by   (f32 end-to-end; negligible FLOPs)
@@ -401,24 +566,32 @@ def _build_train_bwd_kernel(T, relu_kind, S_real, use_gate, read_keep):
             g_mem_prev = (g_mem_direct + g_mem_w + g_mem_read).astype(dtype)
             return (g_mem_prev, gkb_a, gkbp_a, gkbw1_a, gmask_a,
                     gwy_a, gby_a, gw1a_a, gw2_a, gb2_a, gwr_a, gbr_a,
-                    gw3_a, gb3_a)
+                    gw3_a, gb3_a, gpx_a)
 
+        # fresh mode swaps the two KB-sized kbp/kbw1 accumulators for four
+        # small projection weight-grad accumulators
+        zero_kb = zero2[:, :1] if kb_fresh else zero3
+        gpx_init = ((jnp.zeros((d, d), f32), jnp.zeros((1, d), f32),
+                     jnp.zeros((d, d), f32), jnp.zeros((1, d), f32))
+                    if kb_fresh else ())
         init = (gout_ref[...],
-                zero3, zero3, zero3, zero2,
+                zero3, zero_kb, zero_kb, zero2,
                 jnp.zeros((d, d), f32), jnp.zeros((1, d), f32),
                 jnp.zeros((d, d), f32), jnp.zeros((d, d), f32),
                 jnp.zeros((1, d), f32), jnp.zeros((1, d), f32),
                 jnp.zeros((1, 1), f32),
-                jnp.zeros((2 * d, d), f32), jnp.zeros((1, d), f32))
+                jnp.zeros((2 * d, d), f32), jnp.zeros((1, d), f32),
+                gpx_init)
         out = jax.lax.fori_loop(0, T, step, init)
         (g_mem0, gkb_a, gkbp_a, gkbw1_a, gmask_a,
          gwy_a, gby_a, gw1a_a, gw2_a, gb2_a, gwr_a, gbr_a,
-         gw3_a, gb3_a) = out
+         gw3_a, gb3_a, gpx_a) = out
 
         gmem0_ref[...] = g_mem0.astype(dtype)
         gkb_ref[...] = gkb_a.astype(dtype)
-        gkbp_ref[...] = gkbp_a.astype(dtype)
-        gkbw1_ref[...] = gkbw1_a.astype(dtype)
+        if not kb_fresh:
+            gkbp_ref[...] = gkbp_a.astype(dtype)
+            gkbw1_ref[...] = gkbw1_a.astype(dtype)
         gmask_ref[...] = gmask_a.astype(dtype)
         # weight grads accumulate across grid cells
         gwy_ref[...] += gwy_a
@@ -430,6 +603,12 @@ def _build_train_bwd_kernel(T, relu_kind, S_real, use_gate, read_keep):
         gbr_ref[...] += gbr_a
         gw3_ref[...] += gw3_a
         gb3_ref[...] += gb3_a
+        if kb_fresh:
+            gwpx_a, gbpx_a, gw1b_a, gb1_a = gpx_a
+            gwpx_ref[...] += gwpx_a
+            gbpx_ref[...] += gbpx_a
+            gw1b_ref[...] += gw1b_a
+            gb1_ref[...] += gb1_a
 
     return kernel
 
@@ -437,15 +616,23 @@ def _build_train_bwd_kernel(T, relu_kind, S_real, use_gate, read_keep):
 # --------------------------------------------------------------- dispatcher
 
 _W_KEYS = ("wy", "by", "w1a", "w2", "b2", "wr", "br", "w3", "b3")
+_PX_KEYS = ("wpx", "bpx", "w1b", "b1")
 
 
 def _layout(statics, kb, bwd: bool = False):
-    (T, S_real, relu, use_gate, read_keep, batch_tile, interpret) = statics
+    (T, S_real, relu, use_gate, read_keep, kb_fresh, batch_tile,
+     interpret) = statics
     B, S, d = kb.shape
     assert B % 8 == 0, f"fused train requires B % 8 == 0, got {B}"
-    # the backward keeps three KB-sized f32 accumulators per tile in VMEM,
-    # so its tile is capped at 8 (Bt=16 measures 139.9M > 128M vmem)
-    Bt = min(batch_tile, 8) if bwd else batch_tile
+    # the tied-mask backward keeps three KB-sized f32 accumulators per
+    # tile in VMEM, so its tile is capped at 8 (Bt=16 measures
+    # 139.9M > 128M vmem); the fresh-KB backward keeps only ONE (the
+    # projection grads are weight-shaped), so Bt=16 fits — but only in
+    # bf16 (f32 chains double every live tensor: Bt=16 f32 measures
+    # 145.2M > 128M).  Masks are drawn by GLOBAL batch row, so a
+    # different backward tile still replays the forward's dropout exactly
+    bwd_cap = 16 if (kb_fresh and kb.dtype == jnp.bfloat16) else 8
+    Bt = min(batch_tile, bwd_cap) if bwd else batch_tile
     while B % Bt:
         Bt //= 2
     Bt = max(Bt, 8)
@@ -474,8 +661,9 @@ def _specs(T, Bt, Sp, d):
     return tile, step_tile, full, smem
 
 
-def _prep_weights(weights, dtype, d):
-    w = {k: jnp.asarray(weights[k]).astype(dtype) for k in _W_KEYS
+def _prep_weights(weights, dtype, d, kb_fresh=False):
+    keys = _W_KEYS + (_PX_KEYS if kb_fresh else ())
+    w = {k: jnp.asarray(weights[k]).astype(dtype) for k in keys
          if k not in ("br",)}
     w["wr128"] = jnp.broadcast_to(
         jnp.asarray(weights["wr"]).astype(dtype)[:, None], (d, 128))
@@ -485,18 +673,23 @@ def _prep_weights(weights, dtype, d):
 
 def _fwd_impl(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
               mem_mask, seed):
-    (T, S_real, relu, use_gate, read_keep, batch_tile, _) = statics
+    (T, S_real, relu, use_gate, read_keep, kb_fresh, batch_tile,
+     _) = statics
     B, S, d, Bt, Sp, interpret = _layout(statics, kb)
     dtype = kb.dtype
-    kb_p, kbp_p, kbw1_p = (_pad_s(x, Sp) for x in (kb, kbp, kbw1))
-    w, br = _prep_weights(weights, dtype, d)
+    kb_p = _pad_s(kb, Sp)
+    w, br = _prep_weights(weights, dtype, d, kb_fresh)
     tile, step_tile, full, smem = _specs(T, Bt, Sp, d)
-    kernel = _build_train_fwd_kernel(T, relu, S_real, use_gate, read_keep)
+    kernel = _build_train_fwd_kernel(T, relu, S_real, use_gate, read_keep,
+                                     kb_fresh)
 
-    in_specs = [smem(), tile(Bt, Sp, d), tile(Bt, Sp, d), tile(Bt, Sp, d),
-                step_tile(T, Bt, d)]
-    inputs = [seed.reshape(1).astype(jnp.int32), kb_p, kbp_p, kbw1_p,
-              controls.astype(dtype)]
+    in_specs = [smem(), tile(Bt, Sp, d)]
+    inputs = [seed.reshape(1).astype(jnp.int32), kb_p]
+    if not kb_fresh:
+        in_specs += [tile(Bt, Sp, d), tile(Bt, Sp, d)]
+        inputs += [_pad_s(kbp, Sp), _pad_s(kbw1, Sp)]
+    in_specs.append(step_tile(T, Bt, d))
+    inputs.append(controls.astype(dtype))
     if use_gate:
         in_specs.append(step_tile(T, Bt, d))
         inputs.append(gates.astype(dtype))
@@ -505,6 +698,10 @@ def _fwd_impl(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
     for key in ("wy", "by", "w1a", "w2", "b2"):
         in_specs.append(full())
         inputs.append(w[key])
+    if kb_fresh:
+        for key in _PX_KEYS:
+            in_specs.append(full())
+            inputs.append(w[key])
     in_specs += [full(), smem(), full(), full()]
     inputs += [w["wr128"], br, w["w3"], w["b3"]]
 
@@ -523,8 +720,8 @@ def _fwd_impl(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
         interpret=interpret,
         compiler_params=compiler_params,
         cost_estimate=pl.CostEstimate(
-            flops=T * B * Sp * d * d * 2 * 2,
-            bytes_accessed=B * Sp * d * 2 * 3,
+            flops=T * B * Sp * d * d * 2 * (4 if kb_fresh else 2),
+            bytes_accessed=B * Sp * d * 2 * (1 if kb_fresh else 3),
             transcendentals=T * B * Sp),
     )(*inputs)
     return final, hist
@@ -532,18 +729,23 @@ def _fwd_impl(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
 
 def _bwd_impl(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
               mem_mask, seed, hist, g_final):
-    (T, S_real, relu, use_gate, read_keep, batch_tile, _) = statics
+    (T, S_real, relu, use_gate, read_keep, kb_fresh, batch_tile,
+     _) = statics
     B, S, d, Bt, Sp, interpret = _layout(statics, kb, bwd=True)
     dtype = kb.dtype
-    kb_p, kbp_p, kbw1_p = (_pad_s(x, Sp) for x in (kb, kbp, kbw1))
-    w, br = _prep_weights(weights, dtype, d)
+    kb_p = _pad_s(kb, Sp)
+    w, br = _prep_weights(weights, dtype, d, kb_fresh)
     tile, step_tile, full, smem = _specs(T, Bt, Sp, d)
-    kernel = _build_train_bwd_kernel(T, relu, S_real, use_gate, read_keep)
+    kernel = _build_train_bwd_kernel(T, relu, S_real, use_gate, read_keep,
+                                     kb_fresh)
 
-    in_specs = [smem(), tile(Bt, Sp, d), tile(Bt, Sp, d), tile(Bt, Sp, d),
-                step_tile(T, Bt, d)]
-    inputs = [seed.reshape(1).astype(jnp.int32), kb_p, kbp_p, kbw1_p,
-              controls.astype(dtype)]
+    in_specs = [smem(), tile(Bt, Sp, d)]
+    inputs = [seed.reshape(1).astype(jnp.int32), kb_p]
+    if not kb_fresh:
+        in_specs += [tile(Bt, Sp, d), tile(Bt, Sp, d)]
+        inputs += [_pad_s(kbp, Sp), _pad_s(kbw1, Sp)]
+    in_specs.append(step_tile(T, Bt, d))
+    inputs.append(controls.astype(dtype))
     if use_gate:
         in_specs.append(step_tile(T, Bt, d))
         inputs.append(gates.astype(dtype))
@@ -552,6 +754,10 @@ def _bwd_impl(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
     for key in ("wy", "by", "w1a", "w2", "b2"):
         in_specs.append(full())
         inputs.append(w[key])
+    if kb_fresh:
+        for key in _PX_KEYS:
+            in_specs.append(full())
+            inputs.append(w[key])
     in_specs += [full(), smem(), full(), full()]
     inputs += [w["wr128"], br, w["w3"], w["b3"]]
     in_specs.append(full())
@@ -561,14 +767,16 @@ def _bwd_impl(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
     inputs += [hist, g_final.astype(dtype)]
 
     f32 = jnp.float32
-    out_shape = [
-        jax.ShapeDtypeStruct((B, Sp, d), dtype),      # g_kb
-        jax.ShapeDtypeStruct((B, Sp, d), dtype),      # g_kbp
-        jax.ShapeDtypeStruct((B, Sp, d), dtype),      # g_kbw1
-        jax.ShapeDtypeStruct((T, B, d), dtype),       # g_controls
-    ]
-    out_specs = [tile(Bt, Sp, d), tile(Bt, Sp, d), tile(Bt, Sp, d),
-                 step_tile(T, Bt, d)]
+    out_shape = [jax.ShapeDtypeStruct((B, Sp, d), dtype)]     # g_kb
+    out_specs = [tile(Bt, Sp, d)]
+    if not kb_fresh:
+        out_shape += [
+            jax.ShapeDtypeStruct((B, Sp, d), dtype),      # g_kbp
+            jax.ShapeDtypeStruct((B, Sp, d), dtype),      # g_kbw1
+        ]
+        out_specs += [tile(Bt, Sp, d), tile(Bt, Sp, d)]
+    out_shape.append(jax.ShapeDtypeStruct((T, B, d), dtype))  # g_controls
+    out_specs.append(step_tile(T, Bt, d))
     if use_gate:
         out_shape.append(jax.ShapeDtypeStruct((T, B, d), dtype))
         out_specs.append(step_tile(T, Bt, d))
@@ -580,12 +788,23 @@ def _bwd_impl(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
         jax.ShapeDtypeStruct((d, d), f32),            # g_w1a
         jax.ShapeDtypeStruct((d, d), f32),            # g_w2
         jax.ShapeDtypeStruct((1, d), f32),            # g_b2
+    ]
+    out_specs += [tile(Bt, d), tile(Bt, d)] + [full()] * 5
+    if kb_fresh:
+        out_shape += [
+            jax.ShapeDtypeStruct((d, d), f32),        # g_wpx
+            jax.ShapeDtypeStruct((1, d), f32),        # g_bpx
+            jax.ShapeDtypeStruct((d, d), f32),        # g_w1b
+            jax.ShapeDtypeStruct((1, d), f32),        # g_b1
+        ]
+        out_specs += [full()] * 4
+    out_shape += [
         jax.ShapeDtypeStruct((1, d), f32),            # g_wr
         jax.ShapeDtypeStruct((1, 1), f32),            # g_br
         jax.ShapeDtypeStruct((2 * d, d), f32),        # g_w3
         jax.ShapeDtypeStruct((1, d), f32),            # g_b3
     ]
-    out_specs += [tile(Bt, d), tile(Bt, d)] + [full()] * 9
+    out_specs += [full()] * 4
 
     compiler_params = None
     if not interpret:
@@ -601,26 +820,35 @@ def _bwd_impl(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
         interpret=interpret,
         compiler_params=compiler_params,
         cost_estimate=pl.CostEstimate(
-            flops=T * B * Sp * d * d * 2 * 7,
-            bytes_accessed=B * Sp * d * 2 * 6,
+            flops=T * B * Sp * d * d * 2 * (13 if kb_fresh else 7),
+            bytes_accessed=B * Sp * d * 2 * (2 if kb_fresh else 6),
             transcendentals=T * B * Sp),
     )(*inputs)
 
     it = iter(outs)
-    g_kb, g_kbp, g_kbw1, g_controls = (next(it) for _ in range(4))
+    g_kb = next(it)
+    g_kbp = g_kbw1 = None
+    if not kb_fresh:
+        g_kbp, g_kbw1 = next(it), next(it)
+    g_controls = next(it)
     g_gates = next(it) if use_gate else None
     g_mem0, g_mask = next(it), next(it)
-    gw = {k: next(it) for k in ("wy", "by", "w1a", "w2", "b2", "wr")}
+    gw = {k: next(it) for k in ("wy", "by", "w1a", "w2", "b2")}
+    if kb_fresh:
+        gw.update({k: next(it) for k in _PX_KEYS})
+    gw["wr"] = next(it)
     gw["br"] = next(it).reshape(())
     gw["w3"], gw["b3"] = next(it), next(it)
-    for k in ("by", "b2", "wr", "b3"):
+    for k in ("by", "b2", "wr", "b3") + (("bpx", "b1") if kb_fresh else ()):
         gw[k] = gw[k].reshape(-1)
     g_weights = {k: gw[k].astype(jnp.asarray(weights[k]).dtype)
-                 for k in _W_KEYS}
+                 for k in _W_KEYS + (_PX_KEYS if kb_fresh else ())}
     g_weights["br"] = g_weights["br"].reshape(
         jnp.asarray(weights["br"]).shape)
     sl = lambda x: x[:, :S] if Sp != S else x
-    return (g_weights, sl(g_kb), sl(g_kbp), sl(g_kbw1), g_controls,
+    return (g_weights, sl(g_kb),
+            None if kb_fresh else sl(g_kbp),
+            None if kb_fresh else sl(g_kbw1), g_controls,
             g_gates, g_mem0, g_mask)
 
 
@@ -629,11 +857,14 @@ def mac_train_recurrence(statics, weights, kb, kbp, kbw1, controls, gates,
                          mem0, mem_mask, seed):
     """Differentiable fused MAC memory chain.
 
-    statics: (T, S_real, relu, use_gate, read_keep, batch_tile, interpret)
-    weights: dict over {wy, by, w1a, w2, b2, wr, br, w3, b3} (param-tree
-    dtypes); kb/kbp/kbw1 [B, S, d]; controls/gates [T, B, d]; mem0 /
-    mem_mask [B, d]; seed int32 scalar array (RNG stream for the
-    in-kernel dropout masks).  Returns the final memory [B, d].
+    statics: (T, S_real, relu, use_gate, read_keep, kb_fresh, batch_tile,
+    interpret).  weights: dict over {wy, by, w1a, w2, b2, wr, br, w3, b3}
+    plus {wpx, bpx, w1b, b1} in kb_fresh mode (param-tree dtypes);
+    kb [B, S, d]; kbp/kbw1 [B, S, d] hoisted projections (None in
+    kb_fresh mode — the kernel projects per step from a fresh per-step
+    KB dropout mask); controls/gates [T, B, d]; mem0 / mem_mask [B, d];
+    seed int32 scalar array (RNG stream for the in-kernel dropout
+    masks).  Returns the final memory [B, d].
     """
     final, _ = _fwd_impl(statics, weights, kb, kbp, kbw1, controls, gates,
                          mem0, mem_mask, seed)
@@ -677,13 +908,20 @@ class FusedTrainEngine:
     plumbing (steps.py).
     """
 
-    def __init__(self, cfg: Config, embedding_init, batch_tile: int = 16):
+    def __init__(self, cfg: Config, embedding_init, batch_tile: int = 16,
+                 force_fresh_kb: bool = False):
         from mac_network_tpu.models.mac_network import (
             QuestionEncoder, Stem, OutputUnit, Classifier)
         assert supports_fused_train(cfg), \
             "config outside the fused-train envelope; use the XLA path"
         self.cfg = cfg
         self.batch_tile = batch_tile
+        # fresh-KB mode is chosen automatically from the config (fresh
+        # per-step masks whenever read dropout is active and untied);
+        # force_fresh_kb additionally routes the no-dropout case through
+        # the in-kernel projections (used by tests to check that path's
+        # gradients against XLA exactly)
+        self.force_fresh_kb = force_fresh_kb
         self.embedding_init = embedding_init
         self.encoder = QuestionEncoder(cfg, embedding_init)
         self.stem = Stem(cfg)
@@ -748,16 +986,25 @@ class FusedTrainEngine:
             z = jax.nn.sigmoid(glog + gb + cfg.writeGateBias)
             gates = jnp.broadcast_to(z.astype(dtype), (T, B, d))
 
-        # ---- hoisted KB projections with the step-tied KB dropout mask
-        # (--readVariationalDropout; mac_network.py hoist path)
-        kb_in = kb
-        if train and cfg.readVariationalDropout and cfg.readDropout < 1.0:
-            kb_mask = generate_var_dp_mask(k_kb, kb.shape, cfg.readDropout)
-            kb_in = (kb / cfg.readDropout) * kb_mask.astype(kb.dtype)
-        kbp = _apply_linear(kb_in, {"weight": weights["wpx"],
-                                    "bias": weights["bpx"]})
-        kbw1 = _apply_linear(kbp, {"weight": weights["w1b"],
-                                   "bias": weights["b1"]})
+        # ---- KB projections: hoisted when the KB dropout mask is
+        # step-tied (--readVariationalDropout; mac_network.py hoist path)
+        # or inactive; in-kernel per step (kb_fresh) at the reference's
+        # fresh per-step-mask semantics (mac_cell.py:257-260)
+        kb_fresh = self.force_fresh_kb or (
+            train and cfg.readDropout < 1.0
+            and not cfg.readVariationalDropout)
+        if kb_fresh:
+            kbp = kbw1 = None
+        else:
+            kb_in = kb
+            if train and cfg.readVariationalDropout and cfg.readDropout < 1.0:
+                kb_mask = generate_var_dp_mask(k_kb, kb.shape,
+                                               cfg.readDropout)
+                kb_in = (kb / cfg.readDropout) * kb_mask.astype(kb.dtype)
+            kbp = _apply_linear(kb_in, {"weight": weights["wpx"],
+                                        "bias": weights["bpx"]})
+            kbw1 = _apply_linear(kbp, {"weight": weights["w1b"],
+                                       "bias": weights["b1"]})
 
         # ---- variational memory dropout mask, pre-scaled (ones at eval)
         if train and cfg.memoryVariationalDropout and cfg.memoryDropout < 1.0:
@@ -777,13 +1024,17 @@ class FusedTrainEngine:
 
         read_keep = float(cfg.readDropout) if train else 1.0
         statics = (T, kb.shape[1], cfg.relu, bool(cfg.writeGate),
-                   read_keep, self.batch_tile,
+                   read_keep, kb_fresh, self.batch_tile,
                    interpret)
         kernel_weights = {
             "wy": weights["wmem"], "by": weights["bmem"],
             "w1a": weights["w1a"], "w2": weights["w2"], "b2": weights["b2"],
             "wr": weights["wr"], "br": weights["br"],
             "w3": weights["w3"], "b3": weights["b3"]}
+        if kb_fresh:
+            kernel_weights.update(
+                wpx=weights["wpx"], bpx=weights["bpx"],
+                w1b=weights["w1b"], b1=weights["b1"])
         seed = jax.random.randint(k_seed, (), 0, np.int32(2 ** 31 - 1),
                                   dtype=jnp.int32)
         final_memory = mac_train_recurrence(

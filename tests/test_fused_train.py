@@ -133,9 +133,13 @@ def test_fused_train_steps_reduce_loss():
 
 def test_fused_train_envelope():
     assert supports_fused_train(det_cfg(writeGate=True))
-    # per-step (untied) read dropout stays on the XLA path
+    # per-step (untied) read dropout runs in kb_fresh mode (round 3)
     cfg = fused_cfg()
+    cfg.memoryVariationalDropout = True
     assert cfg.readDropout < 1.0 and not cfg.readVariationalDropout
+    assert supports_fused_train(cfg)
+    # non-variational memory dropout remains outside the envelope
+    cfg.memoryVariationalDropout = False
     assert not supports_fused_train(cfg)
     assert not supports_fused_train(det_cfg(writeSelfAtt=True))
     assert not supports_fused_train(det_cfg(
@@ -144,3 +148,113 @@ def test_fused_train_envelope():
         controlInputUnshared=False))
     assert not supports_fused_train(det_cfg(writeGate=True,
                                             writeGateShared=True))
+
+
+# ------------------------------- fresh-KB (exact reference parity) mode
+
+
+@pytest.mark.parametrize("gate", [False, True])
+def test_fused_train_fresh_kb_grads_match_xla(gate):
+    """kb_fresh mode with dropout disabled computes the SAME math as the
+    hoisted path (projections merely move in-kernel), so every gradient
+    — including the new in-kernel wpx/w1b/bias grads — must equal XLA."""
+    cfg = det_cfg(writeGate=gate)
+    model, emb, variables, qs, lens, imgs = make_model_batch(cfg, 8)
+    engine = FusedTrainEngine(cfg, emb, batch_tile=8, force_fresh_kb=True)
+
+    def loss(apply_fn):
+        def f(p):
+            lg, _ = apply_fn({"params": p}, qs, lens, imgs, train=True,
+                             rngs={"dropout": jax.random.key(3)})
+            return jnp.mean(lg ** 2)
+        return f
+
+    g_xla = jax.grad(loss(model.apply))(variables["params"])
+    g_fused = jax.grad(loss(engine.apply))(variables["params"])
+    assert_grads_close(g_xla, g_fused)
+
+
+def test_fused_train_fresh_kb_multi_tile_accumulation():
+    """The new wpx/bpx/w1b/b1 grad accumulators must sum correctly
+    across grid cells (B=16, Bt=8 -> two cells)."""
+    cfg = det_cfg()
+    model, emb, variables, qs, lens, imgs = make_model_batch(cfg, 16)
+    engine = FusedTrainEngine(cfg, emb, batch_tile=8, force_fresh_kb=True)
+
+    def loss(apply_fn):
+        def f(p):
+            lg, _ = apply_fn({"params": p}, qs, lens, imgs, train=True,
+                             rngs={"dropout": jax.random.key(3)})
+            return jnp.mean(lg ** 2)
+        return f
+
+    g_xla = jax.grad(loss(model.apply))(variables["params"])
+    g_fused = jax.grad(loss(engine.apply))(variables["params"])
+    assert_grads_close(g_xla, g_fused)
+
+
+def test_fused_train_fresh_kb_dropout_semantics():
+    """Reference parity semantics (fresh per-step KB masks, untied):
+    deterministic per seed, stochastic across seeds, finite grads, and a
+    DIFFERENT loss than tied-mask mode under the same seed (the fresh
+    masks really are per-step)."""
+    cfg = fused_cfg()
+    cfg.memoryVariationalDropout = True
+    assert cfg.readDropout < 1.0 and not cfg.readVariationalDropout
+    assert supports_fused_train(cfg)
+    model, emb, variables, qs, lens, imgs = make_model_batch(cfg, 8)
+    engine = FusedTrainEngine(cfg, emb, batch_tile=8)
+
+    def loss(e, seed):
+        lg, _ = e.apply({"params": variables["params"]}, qs, lens,
+                        imgs, train=True,
+                        rngs={"dropout": jax.random.key(seed)})
+        return float(jnp.mean(lg ** 2))
+
+    assert loss(engine, 5) == loss(engine, 5)
+    assert loss(engine, 5) != loss(engine, 6)
+
+    import dataclasses
+    cfg_tied = dataclasses.replace(cfg, readVariationalDropout=True)
+    tied = FusedTrainEngine(cfg_tied, emb, batch_tile=8)
+    assert loss(engine, 5) != loss(tied, 5)
+
+    g = jax.grad(lambda p: jnp.mean(engine.apply(
+        {"params": p}, qs, lens, imgs, train=True,
+        rngs={"dropout": jax.random.key(5)})[0] ** 2))(variables["params"])
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
+
+
+def test_fused_train_masks_tile_invariant():
+    """Regression for the fwd/bwd mask-replay bug: in-kernel dropout
+    masks are drawn by GLOBAL batch row, so the loss AND the gradients
+    must be identical for batch_tile=16 (fwd Bt=16, bwd capped at Bt=8)
+    and batch_tile=8 (both 8).  With tile-local indexing the backward
+    would replay different masks than the forward whenever the tiles
+    differ, silently corrupting gradients."""
+    cfg = fused_cfg(writeGate=True)
+    cfg.memoryVariationalDropout = True
+    cfg.readVariationalDropout = True          # y/e masks still per-step
+    model, emb, variables, qs, lens, imgs = make_model_batch(cfg, 16)
+
+    def run(batch_tile):
+        engine = FusedTrainEngine(cfg, emb, batch_tile=batch_tile)
+        def f(p):
+            lg, _ = engine.apply({"params": p}, qs, lens, imgs,
+                                 train=True,
+                                 rngs={"dropout": jax.random.key(11)})
+            return jnp.mean(lg ** 2)
+        val, g = jax.value_and_grad(f)(variables["params"])
+        return val, g
+
+    v16, g16 = run(16)
+    v8, g8 = run(8)
+    assert float(v16) == float(v8)
+    flat16 = jax.tree_util.tree_leaves_with_path(g16)
+    flat8 = {jax.tree_util.keystr(p): v
+             for p, v in jax.tree_util.tree_leaves_with_path(g8)}
+    for path, v in flat16:
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(flat8[jax.tree_util.keystr(path)]),
+            err_msg=f"tile-dependent grad at {jax.tree_util.keystr(path)}")
