@@ -238,6 +238,12 @@ def main():
 
     train_flops = _flops_of(train_step, state, t_batch, cfg.lr, rng)
 
+    # snapshot params BEFORE the timing loop: train_step donates its
+    # state, which invalidates variables_t's buffers (the fused section
+    # below needs a live copy)
+    params_snapshot = jax.tree_util.tree_map(jnp.array,
+                                             variables_t["params"])
+
     def step():
         nonlocal state
         state, metrics = train_step(state, t_batch, cfg.lr, rng)
@@ -261,8 +267,7 @@ def main():
             fused_parity_step = make_train_step(
                 FusedTrainEngine(cfg, model_t.embedding_init), cfg, tx)
             st_p = create_train_state(
-                cfg, {"params": jax.tree_util.tree_map(
-                    jnp.array, variables_t["params"])}, tx)
+                cfg, {"params": params_snapshot}, tx)
 
             def pstep():
                 nonlocal st_p

@@ -289,12 +289,18 @@ class Config:
     fusedTrain: bool = False        # custom-VJP fused TRAINING recurrence
                                     # (ops/pallas/mac_train.py): keeps the
                                     # read chain in VMEM through fwd+bwd.
-                                    # Requires the fused-train envelope
-                                    # (step-tied KB dropout or
-                                    # readDropout=1); in-kernel dropout
-                                    # uses its own RNG stream (same
-                                    # keep-probs, different sample — the
-                                    # --prngImpl stance, PARITY.md)
+                                    # Covers BOTH KB-dropout semantics
+                                    # (step-tied masks and the reference's
+                                    # fresh per-step masks); in-kernel
+                                    # dropout uses its own RNG stream
+                                    # (same keep-probs, different sample —
+                                    # the --prngImpl stance, PARITY.md)
+    stepsPerDispatch: int = 1       # K optimizer steps per device dispatch
+                                    # (lax.scan over K staged batches) —
+                                    # amortizes per-step host dispatch
+                                    # latency; bit-identical to K single
+                                    # steps (train/steps.py). Single-host
+                                    # training only
     meshData: int = 0               # data-parallel mesh axis size (0 = all devices)
     meshModel: int = 1              # model-parallel mesh axis (vocab-dim sharding)
     prefetchDepth: int = 2          # device_put double-buffer depth

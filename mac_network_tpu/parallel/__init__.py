@@ -8,7 +8,8 @@ can additionally shard over a 'model' axis.
 """
 
 from mac_network_tpu.parallel.mesh import (
-    make_mesh, batch_sharding, replicate, shard_params, shard_batch)
+    make_mesh, batch_sharding, replicate, shard_params, shard_batch,
+    shard_batch_stacked)
 from mac_network_tpu.parallel.multihost import (
     assemble_global, host_local_batch, local_rows, maybe_initialize,
     process_info)

@@ -106,3 +106,11 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     sharding = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(np.asarray(x), sharding),
                         batch)
+
+
+def shard_batch_stacked(batch: Any, mesh: Mesh) -> Any:
+    """Shard a K-stacked batch dict ([K, B, ...] leaves, --stepsPerDispatch)
+    over 'data' on the SECOND axis — the leading axis is the scan axis."""
+    sharding = NamedSharding(mesh, P(None, "data"))
+    return jax.tree.map(lambda x: jax.device_put(np.asarray(x), sharding),
+                        batch)

@@ -103,7 +103,8 @@ class Runner:
     """Owns the jitted steps and device placement for the epoch loop."""
 
     def __init__(self, cfg: Config, model, train_step, eval_step,
-                 eval_step_att, answer_dict, device_put=None):
+                 eval_step_att, answer_dict, device_put=None,
+                 train_multistep=None, device_put_stacked=None):
         self.cfg = cfg
         self.model = model
         self.train_step = train_step
@@ -111,6 +112,10 @@ class Runner:
         self.eval_step_att = eval_step_att
         self.answer_dict = answer_dict
         self.device_put = device_put or (lambda b: b)
+        # --stepsPerDispatch K: one lax.scan dispatch per K same-shape
+        # batches (steps.py make_train_multistep)
+        self.train_multistep = train_multistep
+        self.device_put_stacked = device_put_stacked or (lambda b: b)
 
     # --------------------------------------------------------------- epoch
     def run_epoch(self, state, tier_data: Dict, train: bool, epoch: int,
@@ -188,6 +193,17 @@ class Runner:
                 print(maclog.stats_line(cfg, stats, res, epoch, batch_num,
                                         data_len, t0), end="", flush=True)
 
+            use_chunks = (train
+                          and int(getattr(cfg, "stepsPerDispatch", 1)) > 1
+                          and self.train_multistep is not None)
+            if use_chunks:
+                state = self._run_chunked(state, prefetch, rng, drain,
+                                          saver_hook, calle, stop_flag,
+                                          epoch)
+                print("")
+                return state, {"loss": stats["loss"], "acc": stats["acc"],
+                               "preds": preds}
+
             for batch_num, batch in enumerate(prefetch):
                 t0 = time.time()
                 device_batch = self.device_put({
@@ -233,6 +249,88 @@ class Runner:
 
         return state, {"loss": stats["loss"], "acc": stats["acc"],
                        "preds": preds}
+
+    # --------------------------------------------- chunked dispatch (train)
+    def _run_chunked(self, state, prefetch, rng, drain, saver_hook, calle,
+                     stop_flag, epoch):
+        """--stepsPerDispatch K training loop: accumulate K consecutive
+        same-shape batches and run them through ONE lax.scan device
+        dispatch (steps.py make_train_multistep) — numerically identical
+        to K single steps, at 1/K the host-dispatch latency.  A bucket
+        shape change, a saveEvery/calleEvery boundary, a preemption flag
+        or the epoch tail flushes a partial chunk through the per-batch
+        step.  One chunk of results stays pending while the next chunk
+        computes (same software pipeline as the per-batch loop)."""
+        cfg = self.cfg
+        K = int(cfg.stepsPerDispatch)
+        keys = ("questions", "questionLengths", "images", "answers", "mask")
+
+        def dispatch(state, chunk):
+            t0 = time.time()
+            if len(chunk) == K:
+                stacked = {k: np.stack([np.asarray(b[k]) for _, b in chunk])
+                           for k in keys}
+                dev = self.device_put_stacked(stacked)
+                t1 = time.time()
+                state, outs = self.train_multistep(state, dev,
+                                                   float(cfg.lr), rng)
+                t2 = time.time()
+                return state, (chunk, outs, (t0, t1, t2))
+            # ragged tail or shape break: per-batch steps
+            outs_l = []
+            t1 = time.time()
+            for _, b in chunk:
+                dev = self.device_put({k: b[k] for k in keys})
+                state, out = self.train_step(state, dev, float(cfg.lr), rng)
+                outs_l.append(out)
+            t2 = time.time()
+            outs = {k: [o[k] for o in outs_l] for k in outs_l[0]}
+            return state, (chunk, outs, (t0, t1, t2))
+
+        def drain_chunk(pending):
+            entries, outs, times = pending
+            for i, (bn, b) in enumerate(entries):
+                out_i = {k: v[i] for k, v in outs.items()}
+                drain((bn, b, out_i, None, times))
+
+        chunk, chunk_sig, pending = [], None, None
+        for batch_num, batch in enumerate(prefetch):
+            sig = tuple(np.asarray(batch[k]).shape for k in keys)
+            if chunk and sig != chunk_sig:          # bucket shape change
+                state, new_pending = dispatch(state, chunk)
+                if pending is not None:
+                    drain_chunk(pending)
+                pending, chunk = new_pending, []
+            chunk_sig = sig
+            chunk.append((batch_num, batch))
+            boundary = (
+                (saver_hook is not None and batch_num > 0
+                 and batch_num % cfg.saveEvery == 0)
+                or (calle is not None and batch_num > 0
+                    and batch_num % cfg.calleEvery == 0)
+                or (stop_flag is not None and stop_flag.get("flag")))
+            if len(chunk) == K or boundary:
+                state, new_pending = dispatch(state, chunk)
+                if pending is not None:
+                    drain_chunk(pending)
+                pending, chunk = new_pending, []
+            if saver_hook is not None and batch_num > 0 \
+                    and batch_num % cfg.saveEvery == 0:
+                print("\nsaving weights (mid-epoch)")
+                saver_hook(state, epoch)
+            if calle is not None and batch_num > 0 \
+                    and batch_num % cfg.calleEvery == 0:
+                calle()
+            if stop_flag is not None and stop_flag.get("flag"):
+                break
+        if chunk:
+            state, new_pending = dispatch(state, chunk)
+            if pending is not None:
+                drain_chunk(pending)
+            pending = new_pending
+        if pending is not None:
+            drain_chunk(pending)
+        return state
 
     # ---------------------------------------------------------- evaluation
     def run_evaluation(self, state, data: Optional[Dict], epoch: int,

@@ -93,41 +93,69 @@ def loss_fn(model, cfg: Config, params, batch_stats, batch, rng):
     return loss, aux
 
 
+def _train_step_body(model, cfg: Config, tx, state, batch, lr, rng):
+    """One training step: fwd -> CE -> bwd -> clip -> Adam -> EMA.  Shared
+    by the per-batch jitted step and the multi-batch scan dispatch (the
+    rng folds in state.step, so a scanned step K batches deep draws the
+    identical dropout masks as K sequential single-step calls)."""
+    rng = jax.random.fold_in(rng, state.step)
+    grad_fn = jax.value_and_grad(
+        lambda p: loss_fn(model, cfg, p, state.batch_stats, batch, rng),
+        has_aux=True)
+    (loss, aux), grads = grad_fn(state.params)
+
+    mask = _var_subset_mask(cfg, state.params)
+    if mask is not None:
+        grads = jax.tree.map(lambda g, m: g * m, grads, mask)
+
+    grad_norm = optax.global_norm(grads)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    updates = jax.tree.map(lambda u: -lr * u, updates)
+    params = optax.apply_updates(state.params, updates)
+
+    ema = state.ema_params
+    if ema is not None:
+        d = cfg.emaDecayRate
+        ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d), ema, params)
+
+    new_state = state.replace(
+        params=params, opt_state=opt_state, ema_params=ema,
+        batch_stats=aux["batch_stats"] if aux["batch_stats"] is not None
+        else state.batch_stats,
+        step=state.step + 1)
+    metrics = {"loss": loss, "correct": aux["correct"],
+               "preds": aux["preds"], "gradNorm": grad_norm}
+    return new_state, metrics
+
+
 def make_train_step(model, cfg: Config, tx):
     """Build the jitted training step.  Donates the state so params update
     in place in HBM."""
 
     def train_step(state, batch, lr, rng):
-        rng = jax.random.fold_in(rng, state.step)
-        grad_fn = jax.value_and_grad(
-            lambda p: loss_fn(model, cfg, p, state.batch_stats, batch, rng),
-            has_aux=True)
-        (loss, aux), grads = grad_fn(state.params)
-
-        mask = _var_subset_mask(cfg, state.params)
-        if mask is not None:
-            grads = jax.tree.map(lambda g, m: g * m, grads, mask)
-
-        grad_norm = optax.global_norm(grads)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        updates = jax.tree.map(lambda u: -lr * u, updates)
-        params = optax.apply_updates(state.params, updates)
-
-        ema = state.ema_params
-        if ema is not None:
-            d = cfg.emaDecayRate
-            ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d), ema, params)
-
-        new_state = state.replace(
-            params=params, opt_state=opt_state, ema_params=ema,
-            batch_stats=aux["batch_stats"] if aux["batch_stats"] is not None
-            else state.batch_stats,
-            step=state.step + 1)
-        metrics = {"loss": loss, "correct": aux["correct"],
-                   "preds": aux["preds"], "gradNorm": grad_norm}
-        return new_state, metrics
+        return _train_step_body(model, cfg, tx, state, batch, lr, rng)
 
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_train_multistep(model, cfg: Config, tx):
+    """K optimizer steps in ONE device dispatch (--stepsPerDispatch K):
+    ``batches`` is the per-batch pytree stacked on a leading K axis and
+    the step body runs under ``lax.scan``.  Per-step host dispatch
+    through a tunneled/remote TPU costs ~1-4 ms; the scan amortizes it
+    to 1/K while computing bit-identical results to K sequential
+    single-step calls (the body folds the rng with state.step, which
+    increments through the scan).  Metrics come back stacked [K, ...]
+    so the driver logs per-batch rows exactly as before.  TPU-first
+    design; the reference dispatches one sess.run per batch
+    (model.py:746)."""
+
+    def multi_step(state, batches, lr, rng):
+        def body(st, batch):
+            return _train_step_body(model, cfg, tx, st, batch, lr, rng)
+        return jax.lax.scan(body, state, batches)
+
+    return jax.jit(multi_step, donate_argnums=(0,))
 
 
 def make_fused_eval_step(engine, cfg: Config):

@@ -97,8 +97,32 @@ def build_state_and_runner(cfg: Config, embeddings, answer_dict):
     else:
         eval_step = make_eval_step(model, cfg, with_attention=False)
     eval_step_att = make_eval_step(model, cfg, with_attention=True)
+
+    # --stepsPerDispatch K: K optimizer steps per device dispatch via
+    # lax.scan (steps.py make_train_multistep); single-host only — the
+    # per-process batch assembly feeds one batch at a time
+    train_multistep = device_put_stacked = None
+    if cfg.stepsPerDispatch > 1:
+        if pc > 1:
+            print(maclog.bcolored(
+                "--stepsPerDispatch: multi-host run; falling back to "
+                "per-batch dispatch", "yellow"))
+        else:
+            from mac_network_tpu.train.steps import make_train_multistep
+            from mac_network_tpu.parallel import shard_batch_stacked
+            step_model = model
+            if cfg.fusedTrain:
+                from mac_network_tpu.ops.pallas import (
+                    FusedTrainEngine, supports_fused_train)
+                if supports_fused_train(cfg):
+                    step_model = FusedTrainEngine(cfg, embeddings)
+            train_multistep = make_train_multistep(step_model, cfg, tx)
+            device_put_stacked = lambda b: shard_batch_stacked(b, mesh)
+
     runner = Runner(cfg, model, train_step, eval_step, eval_step_att,
-                    answer_dict, device_put=device_put)
+                    answer_dict, device_put=device_put,
+                    train_multistep=train_multistep,
+                    device_put_stacked=device_put_stacked)
     return model, state, runner, mesh
 
 
