@@ -84,6 +84,45 @@ def test_multistep_sharded():
                                np.asarray(m_plain["loss"]), rtol=1e-4)
 
 
+def test_multistep_composes_with_fused_train():
+    """lax.scan over the custom-VJP fused training recurrence
+    (--stepsPerDispatch + --fusedTrain): the Pallas fwd/bwd pair must
+    trace under scan and match sequential fused steps."""
+    from mac_network_tpu.ops.pallas import (
+        FusedTrainEngine, supports_fused_train)
+    from tests.test_pallas import fused_cfg, make_model_batch
+
+    cfg = fused_cfg()
+    for k in ("encInputDropout", "stemDropout", "qDropout", "memoryDropout",
+              "readDropout", "writeDropout", "outputDropout"):
+        setattr(cfg, k, 1.0)
+    cfg.memoryVariationalDropout = False
+    assert supports_fused_train(cfg)
+    model, emb, variables, qs, lens, imgs = make_model_batch(cfg, 8)
+    engine = FusedTrainEngine(cfg, emb, batch_tile=8)
+    tx = make_optimizer(cfg)
+    step = make_train_step(engine, cfg, tx)
+    multistep = make_train_multistep(engine, cfg, tx)
+    batch = {"questions": qs, "questionLengths": lens, "images": imgs,
+             "answers": jnp.zeros((8,), jnp.int32),
+             "mask": jnp.ones((8,), jnp.float32)}
+    rng = jax.random.key(3)
+
+    st_a = create_train_state(
+        cfg, {"params": jax.tree.map(jnp.array, variables["params"])}, tx)
+    losses = []
+    for _ in range(2):
+        st_a, m = step(st_a, batch, cfg.lr, rng)
+        losses.append(float(m["loss"]))
+
+    st_b = create_train_state(
+        cfg, {"params": jax.tree.map(jnp.array, variables["params"])}, tx)
+    stacked = jax.tree.map(lambda x: jnp.stack([x, x]), batch)
+    st_b, metrics = multistep(st_b, stacked, cfg.lr, rng)
+    np.testing.assert_allclose(np.asarray(metrics["loss"]),
+                               np.asarray(losses), rtol=1e-5)
+
+
 def test_cli_with_steps_per_dispatch(tmp_path):
     """Full CLI training with --stepsPerDispatch 2: the chunked driver
     loop logs per-batch stats, writes checkpoints and preds, and learns
