@@ -238,11 +238,13 @@ def main():
 
     train_flops = _flops_of(train_step, state, t_batch, cfg.lr, rng)
 
-    # snapshot params BEFORE the timing loop: train_step donates its
-    # state, which invalidates variables_t's buffers (the fused section
-    # below needs a live copy)
-    params_snapshot = jax.tree_util.tree_map(jnp.array,
-                                             variables_t["params"])
+    # snapshot params to HOST before the timing loop: train_step donates
+    # its state, which invalidates variables_t's device buffers (the
+    # sections below each need a fresh live copy)
+    params_host = jax.device_get(variables_t["params"])
+    mk_state = lambda: create_train_state(
+        cfg, {"params": jax.tree_util.tree_map(jnp.asarray, params_host)},
+        tx)
 
     def step():
         nonlocal state
@@ -266,8 +268,7 @@ def main():
         if supports_fused_train(cfg) and jax.default_backend() != "cpu":
             fused_parity_step = make_train_step(
                 FusedTrainEngine(cfg, model_t.embedding_init), cfg, tx)
-            st_p = create_train_state(
-                cfg, {"params": params_snapshot}, tx)
+            st_p = mk_state()
 
             def pstep():
                 nonlocal st_p
@@ -280,6 +281,29 @@ def main():
                 train_fused_mfu = (train_flops / dt_fp) / V5E_PEAK_BF16
     except Exception as e:
         print(f"# fused parity train skipped: {type(e).__name__}: {e}",
+              flush=True)
+
+    # ---------------- multi-step dispatch (--stepsPerDispatch 8): one
+    # lax.scan device call per 8 optimizer steps — same math, 1/8th the
+    # per-step host dispatch latency (train/steps.py)
+    train_scan8_ex_s = None
+    try:
+        from mac_network_tpu.train.steps import make_train_multistep
+        K = 8
+        multi_step = make_train_multistep(model_t, cfg, tx)
+        stacked = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (K,) + x.shape), t_batch)
+        st_m = mk_state()
+
+        def mstep():
+            nonlocal st_m
+            st_m, m = multi_step(st_m, stacked, cfg.lr, rng)
+            return m["loss"]
+
+        dt_m = _timed(mstep, fence, 4) / K
+        train_scan8_ex_s = train_batch / dt_m
+    except Exception as e:
+        print(f"# multi-step bench skipped: {type(e).__name__}: {e}",
               flush=True)
 
     # ---------------- tied-KB training (--readVariationalDropout, the
@@ -359,6 +383,7 @@ def main():
         "train_mfu": rnd(train_mfu, 4),
         "train_fused_ex_s": rnd(train_fused_ex_s),
         "train_fused_mfu": rnd(train_fused_mfu, 4),
+        "train_scan8_ex_s": rnd(train_scan8_ex_s),
         "train_tied": tied or None,
     }))
 

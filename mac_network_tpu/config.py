@@ -62,7 +62,7 @@ class Config:
 
     # ------------------- experiment / data files (config.py:129-135) --------
     expName: str = "experiment"
-    dataset: str = "CLEVR"          # choices: CLEVR, NLVR
+    dataset: str = "CLEVR"          # choices: CLEVR, NLVR, GQA
     dataBasedir: str = "./"
     generatedPrefix: str = "gennew"
     featureType: str = "norm_128x32"
@@ -323,6 +323,9 @@ class Config:
     datasetFilename: str = ""
     imagesFilename: str = "{tier}.h5"
     imgIdsFilename: str = "{tier}ImgIds.json"
+    imgInfoFilename: str = "{tier}ImgInfo.json"
+    gqaObjectsNum: int = 100        # GQA: detector objects per image
+    gqaObjectDim: int = 2048        # GQA: object feature dimension
     wordVectorsFile: str = ""
     imageDims: List[int] = field(default_factory=lambda: [14, 14, 1024])
     programLims: List[int] = field(default_factory=lambda: [5, 10, 15, 20])
@@ -360,6 +363,10 @@ class Config:
 
     def imagesIdsFile(self, tier: str) -> str:
         return self.dataFile(self.imgIdsFilename.format(tier=tier))
+
+    def imagesInfoFile(self, tier: str) -> str:
+        """GQA: per-image valid-object counts ({imageId: objectsNum})."""
+        return self.dataFile(self.imgInfoFilename.format(tier=tier))
 
     def instancesFile(self, tier: str) -> str:
         return self.generatedFile(self.instancesFilename.format(tier=tier))
@@ -571,9 +578,31 @@ def config_nlvr(cfg: Config) -> Config:
     return cfg
 
 
+def config_gqa(cfg: Config) -> Config:
+    """GQA paths and object-feature dims.  The reference keeps its GQA
+    adaptation on a separate branch (reference: readme.md:13, not vendored
+    here); this follows the GQA paper's standard setup — per-image OBJECT
+    features [objectsNum, objectDim] from a detector, attended by the read
+    unit with per-example valid-object masking (batch key
+    ``imageObjectsNum`` -> model kwarg ``kb_lengths``).  Features enter the
+    model as a [1, objectsNum, objectDim] grid, so set a pointwise stem
+    (--stemNumLayers 1, kernel 1) to avoid smearing neighboring objects."""
+    cfg.dataPath = os.path.join(cfg.dataBasedir, "gqa")
+    cfg.datasetFilename = "{tier}_questions.json"
+    cfg.imagesFilename = "{tier}_objects.h5"
+    cfg.imgIdsFilename = "{tier}ImgIds.json"
+    cfg.imgInfoFilename = "{tier}ImgInfo.json"
+    cfg.wordVectorsFile = "./CLEVR_v1/data/glove/glove.6B.{dim}d.txt".format(
+        dim=cfg.wrdEmbDim)
+    cfg.questionLims = [12, 18, 25]
+    cfg.imageDims = [1, cfg.gqaObjectsNum, cfg.gqaObjectDim]
+    return cfg
+
+
 LOAD_DATASET_CONFIG = {
     "CLEVR": config_clevr,
     "NLVR": config_nlvr,
+    "GQA": config_gqa,
 }
 
 

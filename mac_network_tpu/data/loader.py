@@ -86,10 +86,11 @@ def pad_batch(batch: Dict, batch_size: int) -> Dict:
             arr = batch[k]
             batch[k] = np.concatenate(
                 [arr, np.repeat(arr[-1:], pad, axis=0)], axis=0)
-        if "images" in batch:
-            arr = batch["images"]
-            batch["images"] = np.concatenate(
-                [arr, np.repeat(arr[-1:], pad, axis=0)], axis=0)
+        for k in ("images", "imageObjectsNum"):
+            if k in batch:
+                arr = batch[k]
+                batch[k] = np.concatenate(
+                    [arr, np.repeat(arr[-1:], pad, axis=0)], axis=0)
     batch["mask"] = mask
     return batch
 
@@ -111,6 +112,13 @@ class ImageLoader:
         if ids_file:
             with open(ids_file) as f:
                 self.id2idx = json.load(f)
+        # GQA: per-image valid-object counts ({imageId: objectsNum}) mask
+        # the padded detector slots in the read attention
+        self.objects_info = None
+        info_file = images_info.get("imagesInfoFilename")
+        if info_file:
+            with open(info_file) as f:
+                self.objects_info = json.load(f)
 
     def open(self):
         if self.filename.endswith(".npy"):
@@ -133,10 +141,21 @@ class ImageLoader:
     def load_batch(self, batch: Dict) -> np.ndarray:
         feats = self._features()
         to_index = (lambda i: self.id2idx[i]) if self.id2idx else (lambda i: i)
+        arr = np.stack([feats[to_index(i)] for i in batch["imageIds"]], axis=0)
+        if arr.ndim == 3:
+            # object features [B, objectsNum, objDim] (GQA): enter the model
+            # as a [1, objectsNum, objDim] grid, no CHW transpose
+            return np.ascontiguousarray(arr[:, None])
         # CHW -> HWC transpose on host (reference transposes in-graph,
         # model.py:68; the stem wants NHWC on TPU)
-        arr = np.stack([feats[to_index(i)] for i in batch["imageIds"]], axis=0)
         return np.ascontiguousarray(arr.transpose(0, 2, 3, 1))
+
+    def objects_num(self, batch: Dict):
+        """Per-example valid-object counts (GQA), or None."""
+        if self.objects_info is None:
+            return None
+        return np.asarray([self.objects_info[str(i)]
+                           for i in batch["imageIds"]], np.int32)
 
 
 # ---------------------------------------------------------------- prefetcher
@@ -178,6 +197,9 @@ class PrefetchIterator:
             return local
         if self.loader is not None:
             images = self.loader.load_batch(batch)
+            n_obj = self.loader.objects_num(batch)
+            if n_obj is not None:
+                batch["imageObjectsNum"] = n_obj
             if cfg.computeDtype == "bfloat16":
                 # cast on the host: halves host->device bytes for the image
                 # features (the dominant transfer; the model casts to the

@@ -223,8 +223,55 @@ class Preprocesser:
         self.writeFiles(instances, instancesFilename)
         return instances
 
+    def readGQA(self, datasetFilename: str, instancesFilename: str,
+                train: bool):
+        """Parse GQA {tier}_questions.json — a DICT of
+        {questionId: {question, answer, imageId}} (the reference keeps its
+        GQA adaptation on a separate branch, readme.md:13; this follows the
+        GQA paper's release format).  Image ids are strings resolved
+        through {tier}ImgIds.json, like NLVR."""
+        cfg = self.cfg
+        if os.path.exists(instancesFilename):
+            return self.readFiles(instancesFilename)
+
+        with open(datasetFilename) as f:
+            data = json.load(f)
+
+        qids = sorted(data.keys())
+        token_lists = native.tokenize_batch(
+            [data[q]["question"] for q in qids])
+
+        instances = []
+        for i, qid in enumerate(qids):
+            instance = data[qid]
+            question = instance["question"]
+            questionSeq = (token_lists[i] if token_lists is not None
+                           else tokenize(question))
+            if train or (not cfg.wrdEmbUnknown):
+                self.questionDict.addSeq(questionSeq)
+                self.qaDict.addSeq(questionSeq)
+            answer = str(instance.get("answer", "yes"))
+            self.answerDict.addSeq([answer])
+            self.qaDict.addSeq([answer])
+            instances.append({
+                "question": question,
+                "questionSeq": questionSeq,
+                "answer": answer,
+                "imageId": str(instance["imageId"]),
+                "questionId": qid,
+                "index": i,
+            })
+
+        random.shuffle(instances)
+        self.questionDict.createVocab()
+        self.answerDict.createVocab()
+        self.qaDict.createVocab()
+        self.writeFiles(instances, instancesFilename)
+        return instances
+
     def readData(self, datasetFilename, instancesFilename, train):
-        readers = {"CLEVR": self.readCLEVR, "NLVR": self.readNLVR}
+        readers = {"CLEVR": self.readCLEVR, "NLVR": self.readNLVR,
+                   "GQA": self.readGQA}
         return readers[self.cfg.dataset](datasetFilename, instancesFilename,
                                          train)
 
@@ -234,8 +281,10 @@ class Preprocesser:
         instances = self.readData(cfg.datasetFile(tier),
                                   cfg.instancesFile(tier), train)
         images = {"imagesFilename": cfg.imagesFile(tier)}
-        if cfg.dataset == "NLVR":
+        if cfg.dataset in ("NLVR", "GQA"):
             images["imageIdsFilename"] = cfg.imagesIdsFile(tier)
+        if cfg.dataset == "GQA":
+            images["imagesInfoFilename"] = cfg.imagesInfoFile(tier)
         return {"instances": instances, "images": images, "train": train}
 
     def readDataset(self, suffix: str = "", hasTrain: bool = True):
@@ -310,7 +359,8 @@ class Preprocesser:
         if noBucket or cfg.noBucket:
             return [data]
         questionSep = self.lseparator("questionSeq", cfg.questionLims)
-        if cfg.noRebucket or cfg.dataset == "NLVR":
+        if cfg.noRebucket or cfg.dataset in ("NLVR", "GQA"):
+            # no functional programs -> question-length buckets only
             return self.bucket(data, questionSep)
         programSep = self.lseparator("programSeq", cfg.programLims)
         buckets = self.bucket(data, programSep)

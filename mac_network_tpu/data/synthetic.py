@@ -292,3 +292,64 @@ def write_attention_dataset(root: str, n_train: int = 512, n_val: int = 128,
         except ImportError:
             np.save(os.path.join(data_dir, f"{tier}.npy"), features)
     return root
+
+
+def write_synthetic_gqa(root: str, n_train: int = 256, n_val: int = 64,
+                        n_test: int = 32, objects_num: int = 12,
+                        object_dim: int = 16, seed: int = 0):
+    """Materialize a synthetic GQA tree under ``root``/gqa:
+    {tier}_questions.json (dict of qid -> {question, answer, imageId}),
+    {tier}_objects.h5 [N, objectsNum, objectDim], {tier}ImgIds.json and
+    {tier}ImgInfo.json (per-image valid-object counts).  The reference's
+    GQA adaptation lives on an unvendored branch (readme.md:13); this
+    follows the GQA release's object-features layout.
+
+    The task is object-dependent AND masking-sensitive: each image plants
+    one "marked" object whose color channel block answers the question,
+    always at a VALID slot; padded slots are filled with garbage that a
+    correct kb-mask implementation must ignore.
+    """
+    import h5py
+    color_names = ["red", "green", "blue", "yellow"]
+    rng = np.random.RandomState(seed)
+    data_dir = os.path.join(root, "gqa")
+    os.makedirs(data_dir, exist_ok=True)
+    counts = {"train": n_train, "val": n_val, "test": n_test}
+    for t_i, (tier, n) in enumerate(counts.items()):
+        trng = np.random.RandomState(seed + 1000 * (t_i + 1))
+        questions = {}
+        ids = {}
+        info = {}
+        feats = []
+        for i in range(n):
+            img_id = f"{tier}_img{i}"
+            n_valid = int(trng.randint(3, objects_num + 1))
+            obj = trng.randn(objects_num, object_dim).astype(np.float32) * 0.1
+            # garbage in PADDED slots: huge activations that would dominate
+            # attention if the mask were ignored
+            if n_valid < objects_num:
+                obj[n_valid:] = trng.randn(
+                    objects_num - n_valid, object_dim).astype(np.float32) * 50.0
+            color = int(trng.randint(len(color_names)))
+            slot = int(trng.randint(n_valid))
+            obj[slot, :4] = 0.0
+            obj[slot, color] = 5.0                  # marker channel
+            obj[slot, 4] = 5.0                      # "marked object" flag
+            ids[img_id] = len(feats)
+            info[img_id] = n_valid
+            feats.append(obj)
+            questions[f"{tier}q{i}"] = {
+                "question": "What color is the marked object?",
+                "answer": color_names[color],
+                "imageId": img_id,
+            }
+        with open(os.path.join(data_dir, f"{tier}_questions.json"), "w") as f:
+            json.dump(questions, f)
+        with h5py.File(os.path.join(data_dir, f"{tier}_objects.h5"),
+                       "w") as hf:
+            hf.create_dataset("features", data=np.stack(feats))
+        with open(os.path.join(data_dir, f"{tier}ImgIds.json"), "w") as f:
+            json.dump(ids, f)
+        with open(os.path.join(data_dir, f"{tier}ImgInfo.json"), "w") as f:
+            json.dump(info, f)
+    return root

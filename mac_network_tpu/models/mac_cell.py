@@ -234,6 +234,7 @@ class ReadUnit(nn.Module):
                  kb_proj: Optional[jnp.ndarray] = None,
                  kb_w1: Optional[jnp.ndarray] = None,
                  mem_dp_mask: Optional[jnp.ndarray] = None,
+                 kb_lengths: Optional[jnp.ndarray] = None,
                  train: bool = False):
         cfg = self.cfg
 
@@ -294,9 +295,11 @@ class ReadUnit(nn.Module):
                 interactions = jnp.concatenate([interactions, added], axis=-1)
             interactions = self.ctrl_act(interactions)
 
-        # Step 3: attention over the KB (reference: mac_cell.py:264-277)
+        # Step 3: attention over the KB (reference: mac_cell.py:264-277).
+        # kb_lengths (GQA object features): mask padded detector slots so
+        # attention — and therefore the retrieved info — ignores them
         logits = self.logits(interactions, train)
-        attention = masked_softmax(logits)
+        attention = masked_softmax(logits, kb_lengths)
 
         source = projected_kb if cfg.readSmryKBProj else knowledge_base
         information = att2smry(attention, source)
@@ -447,7 +450,7 @@ class MACCell(nn.Module):
 
     def __call__(self, state, control_input, in_words, out_words, lengths,
                  knowledge_base, kb_proj=None, kb_w1=None, mem_dp_mask=None,
-                 prev_controls=None, prev_memories=None,
+                 kb_lengths=None, prev_controls=None, prev_memories=None,
                  vec_questions=None, train: bool = False):
         cfg = self.cfg
         control, memory, cont_control = state
@@ -462,7 +465,8 @@ class MACCell(nn.Module):
 
         info, kb_att = self.read(
             knowledge_base, memory, new_control, kb_proj=kb_proj,
-            kb_w1=kb_w1, mem_dp_mask=mem_dp_mask, train=train)
+            kb_w1=kb_w1, mem_dp_mask=mem_dp_mask, kb_lengths=kb_lengths,
+            train=train)
 
         if cfg.writeDropout < 1.0 and train:
             info = _dropout(self, info, cfg.writeDropout)
@@ -482,7 +486,7 @@ class MACCell(nn.Module):
         return (new_control, new_memory, new_cont_control), info, atts
 
     def scan_step(self, carry, control_input, in_words, out_words, lengths,
-                  knowledge_base, kb_proj, kb_w1, mem_dp_mask,
+                  knowledge_base, kb_proj, kb_w1, mem_dp_mask, kb_lengths,
                   vec_questions, train):
         """(carry, x) -> (carry, ys) adapter for ``nn.scan`` over the
         reasoning steps (useScan path; requires shared cells and no
@@ -491,6 +495,7 @@ class MACCell(nn.Module):
         state, info, atts = self(
             carry, control_input, in_words, out_words, lengths,
             knowledge_base, kb_proj=kb_proj, kb_w1=kb_w1,
-            mem_dp_mask=mem_dp_mask, prev_controls=None, prev_memories=None,
+            mem_dp_mask=mem_dp_mask, kb_lengths=kb_lengths,
+            prev_controls=None, prev_memories=None,
             vec_questions=vec_questions, train=train)
         return state, atts

@@ -215,7 +215,7 @@ class MACRecurrence(nn.Module):
                 MACCell,
                 variable_broadcast="params",
                 split_rngs={"params": False, "dropout": True},
-                in_axes=(0,) + (nn.broadcast,) * 9,
+                in_axes=(0,) + (nn.broadcast,) * 10,
                 out_axes=0,
                 methods=["scan_step"])
             # same attribute name -> same "cell" parameter subtree as the
@@ -254,7 +254,8 @@ class MACRecurrence(nn.Module):
         return vec_questions  # "Q"
 
     def __call__(self, knowledge_base, vec_questions, question_words,
-                 question_cntx_words, lengths, train: bool = False):
+                 question_cntx_words, lengths, train: bool = False,
+                 kb_lengths=None):
         cfg = self.cfg
         B = vec_questions.shape[0]
         dtype = vec_questions.dtype
@@ -342,8 +343,8 @@ class MACRecurrence(nn.Module):
             stacked_ci = jnp.stack(control_inputs, axis=0)      # [T, B, d]
             state, atts = self.cell.scan_step(
                 state, stacked_ci, in_words, out_words, lengths,
-                knowledge_base, kb_proj, kb_w1, mem_dp_mask, vec_questions,
-                train)
+                knowledge_base, kb_proj, kb_w1, mem_dp_mask, kb_lengths,
+                vec_questions, train)
             return state[0], state[1], atts
 
         # ---- unrolled recurrence (reference: model.py:447-458)
@@ -361,7 +362,7 @@ class MACRecurrence(nn.Module):
             state, info, atts = cell(
                 state, control_inputs[i], in_words, out_words, lengths,
                 knowledge_base, kb_proj=kb_proj, kb_w1=kb_w1,
-                mem_dp_mask=mem_dp_mask,
+                mem_dp_mask=mem_dp_mask, kb_lengths=kb_lengths,
                 prev_controls=prev_controls, prev_memories=prev_memories,
                 vec_questions=vec_questions, train=train)
             controls.append(state[0])
@@ -389,7 +390,8 @@ class MACNetwork(nn.Module):
     embedding_init: Any
 
     @nn.compact
-    def __call__(self, question_ids, lengths, images, train: bool = False):
+    def __call__(self, question_ids, lengths, images, train: bool = False,
+                 kb_lengths=None):
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.computeDtype == "bfloat16" else jnp.float32
         images = images.astype(dtype)
@@ -406,7 +408,8 @@ class MACNetwork(nn.Module):
         else:
             kb = Stem(cfg, name="stem")(images, train)
             final_control, final_memory, attentions = MACRecurrence(
-                cfg, name="mac")(kb, vec_q, words, cntx, lengths, train)
+                cfg, name="mac")(kb, vec_q, words, cntx, lengths, train,
+                                 kb_lengths=kb_lengths)
             features = OutputUnit(cfg, name="output")(
                 final_memory, vec_q, images, train)
 

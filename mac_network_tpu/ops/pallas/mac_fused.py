@@ -83,7 +83,9 @@ def supports_fused_config(cfg: Config) -> bool:
     that regime should use ``MACNetwork.apply`` instead.
     """
     common = (
-        cfg.readProjInputs and not cfg.readProjShared
+        cfg.dataset != "GQA"     # per-example KB masks (kb_lengths) are
+                                 # not implemented in the fused kernels
+        and cfg.readProjInputs and not cfg.readProjShared
         and cfg.readMemAttType == "MUL" and cfg.readMemConcatKB
         and cfg.readMemConcatProj and cfg.readMemProj
         and cfg.readMemAct == "RELU"

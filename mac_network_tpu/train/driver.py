@@ -209,7 +209,8 @@ class Runner:
                 device_batch = self.device_put({
                     k: batch[k] for k in
                     ("questions", "questionLengths", "images", "answers",
-                     "mask")})
+                     "mask") + (("imageObjectsNum",)
+                                if "imageObjectsNum" in batch else ())})
                 t1 = time.time()
                 if train:
                     state, out = self.train_step(
@@ -265,11 +266,15 @@ class Runner:
         K = int(cfg.stepsPerDispatch)
         keys = ("questions", "questionLengths", "images", "answers", "mask")
 
+        def batch_keys(b):
+            return keys + (("imageObjectsNum",)
+                           if "imageObjectsNum" in b else ())
+
         def dispatch(state, chunk):
             t0 = time.time()
             if len(chunk) == K:
                 stacked = {k: np.stack([np.asarray(b[k]) for _, b in chunk])
-                           for k in keys}
+                           for k in batch_keys(chunk[0][1])}
                 dev = self.device_put_stacked(stacked)
                 t1 = time.time()
                 state, outs = self.train_multistep(state, dev,
@@ -280,7 +285,7 @@ class Runner:
             outs_l = []
             t1 = time.time()
             for _, b in chunk:
-                dev = self.device_put({k: b[k] for k in keys})
+                dev = self.device_put({k: b[k] for k in batch_keys(b)})
                 state, out = self.train_step(state, dev, float(cfg.lr), rng)
                 outs_l.append(out)
             t2 = time.time()
@@ -295,7 +300,8 @@ class Runner:
 
         chunk, chunk_sig, pending = [], None, None
         for batch_num, batch in enumerate(prefetch):
-            sig = tuple(np.asarray(batch[k]).shape for k in keys)
+            sig = tuple(np.asarray(batch[k]).shape
+                        for k in batch_keys(batch))
             if chunk and sig != chunk_sig:          # bucket shape change
                 state, new_pending = dispatch(state, chunk)
                 if pending is not None:

@@ -59,16 +59,20 @@ def _l2_loss(cfg: Config, params) -> jnp.ndarray:
 
 def loss_fn(model, cfg: Config, params, batch_stats, batch, rng):
     variables = {"params": params}
+    # GQA object features: per-example valid-object count masks the read
+    # unit's KB attention (models/mac_cell.py ReadUnit)
+    kb_kw = ({"kb_lengths": batch["imageObjectsNum"]}
+             if "imageObjectsNum" in batch else {})
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
         (logits, atts), new_vars = model.apply(
             variables, batch["questions"], batch["questionLengths"],
             batch["images"], train=True, rngs={"dropout": rng},
-            mutable=["batch_stats"])
+            mutable=["batch_stats"], **kb_kw)
     else:
         logits, atts = model.apply(
             variables, batch["questions"], batch["questionLengths"],
-            batch["images"], train=True, rngs={"dropout": rng})
+            batch["images"], train=True, rngs={"dropout": rng}, **kb_kw)
         new_vars = {}
     labels = batch["answers"]
     losses = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
@@ -191,9 +195,11 @@ def make_eval_step(model, cfg: Config, with_attention: bool = False):
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
+        kb_kw = ({"kb_lengths": batch["imageObjectsNum"]}
+                 if "imageObjectsNum" in batch else {})
         logits, atts = model.apply(
             variables, batch["questions"], batch["questionLengths"],
-            batch["images"], train=False)
+            batch["images"], train=False, **kb_kw)
         labels = batch["answers"]
         losses = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
         mask = batch.get("mask")

@@ -151,14 +151,16 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
             FusedMACEngine, supports_fused_config)
         if supports_fused_config(cfg):
             engine = FusedMACEngine(cfg, emb_init)
+            # kbl is always None here: supports_fused_config gates the
+            # fused engines away from GQA (per-example KB masks)
             if get_att:
-                def _fused_predict(p, q, l, im):
+                def _fused_predict(p, q, l, im, kbl=None):
                     logits, atts = engine({"params": p}, q, l, im,
                                           get_att=True)
                     return jnp.argmax(logits, -1).astype(jnp.int32), atts
                 predict = jax.jit(_fused_predict)
             else:
-                predict = jax.jit(lambda p, q, l, im: (jnp.argmax(
+                predict = jax.jit(lambda p, q, l, im, kbl=None: (jnp.argmax(
                     engine({"params": p}, q, l, im), -1).astype(jnp.int32),
                     {}))
         else:
@@ -166,18 +168,20 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
                   file=sys.stderr)
             cfg.usePallas = False
     if not cfg.usePallas:
-        def _xla_predict(p, q, l, im):
+        def _xla_predict(p, q, l, im, kbl=None):
             logits, atts = model.apply(
                 {"params": p, **({"batch_stats": state.batch_stats}
                                  if state.batch_stats else {})},
-                q, l, im, train=False)
+                q, l, im, train=False, kb_lengths=kbl)
             preds = jnp.argmax(logits, -1).astype(jnp.int32)
             return preds, (atts if get_att else {})
         predict = jax.jit(_xla_predict)
 
     loader = ImageLoader({"imagesFilename": cfg.imagesFile(tier),
                           **({"imageIdsFilename": cfg.imagesIdsFile(tier)}
-                             if cfg.dataset == "NLVR" else {})}, cfg)
+                             if cfg.dataset in ("NLVR", "GQA") else {}),
+                          **({"imagesInfoFilename": cfg.imagesInfoFile(tier)}
+                             if cfg.dataset == "GQA" else {})}, cfg)
     loader.open()
     try:
         t0 = time.time()
@@ -186,8 +190,9 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
         atts_all = []
         for start in range(0, n, B):
             chunk = requests[start:start + B]
-            img = loader.load_batch({"imageIds": [r["imageId"]
-                                                  for r in chunk]})
+            id_batch = {"imageIds": [r["imageId"] for r in chunk]}
+            img = loader.load_batch(id_batch)
+            n_obj = loader.objects_num(id_batch)
             q = questions[start:start + B]
             l = lengths[start:start + B]
             pad = B - len(chunk)
@@ -195,8 +200,12 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
                 q = np.concatenate([q, np.repeat(q[-1:], pad, 0)])
                 l = np.concatenate([l, np.repeat(l[-1:], pad, 0)])
                 img = np.concatenate([img, np.repeat(img[-1:], pad, 0)])
+                if n_obj is not None:
+                    n_obj = np.concatenate(
+                        [n_obj, np.repeat(n_obj[-1:], pad, 0)])
             out, atts = predict(params, jnp.asarray(q), jnp.asarray(l),
-                                jnp.asarray(img))
+                                jnp.asarray(img),
+                                None if n_obj is None else jnp.asarray(n_obj))
             out = np.asarray(out)
             preds_all.extend(out[:len(chunk)].tolist())
             if get_att:
