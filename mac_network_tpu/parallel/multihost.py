@@ -98,14 +98,20 @@ def host_local_batch(batch: Dict, batch_size: int, process_index: int,
     for k in ("questions", "questionLengths", "answers"):
         out[k] = np.asarray(batch[k])[rows]
     if image_loader is not None:
-        images = image_loader.load_batch(
-            {"imageIds": [batch["imageIds"][r] for r in rows]})
+        id_batch = {"imageIds": [batch["imageIds"][r] for r in rows]}
+        images = image_loader.load_batch(id_batch)
+        n_obj = image_loader.objects_num(id_batch)
+        if n_obj is not None:                   # GQA valid-object counts
+            out["imageObjectsNum"] = n_obj
         if compute_dtype == "bfloat16":
             import ml_dtypes
             images = images.astype(ml_dtypes.bfloat16)
         out["images"] = images
     elif "images" in batch:
         out["images"] = np.asarray(batch["images"])[rows]
+        if "imageObjectsNum" in batch:
+            out["imageObjectsNum"] = np.asarray(
+                batch["imageObjectsNum"])[rows]
     out["mask"] = mask
     out["localRows"] = rows
     return out
@@ -123,7 +129,8 @@ def assemble_global(batch: Dict, mesh, batch_size: int) -> Dict:
     from jax.sharding import NamedSharding, PartitionSpec as P
     sharding = NamedSharding(mesh, P("data"))
     out = {}
-    for k in ("questions", "questionLengths", "images", "answers", "mask"):
+    for k in ("questions", "questionLengths", "images", "answers", "mask",
+              "imageObjectsNum"):
         if k not in batch:
             continue
         local = np.asarray(batch[k])
