@@ -123,6 +123,62 @@ def test_multistep_composes_with_fused_train():
                                np.asarray(losses), rtol=1e-5)
 
 
+def test_chunked_loop_flush_paths():
+    """Driver _run_chunked edge cases with stub step functions: bucket
+    shape changes flush partial chunks through the single-step path, full
+    chunks go through the scan path, the ragged epoch tail drains, and
+    every batch is drained exactly once in order."""
+    from mac_network_tpu.train.driver import Runner
+
+    cfg = tiny_cfg()
+    cfg.stepsPerDispatch = 3
+
+    calls = {"single": 0, "multi": 0}
+
+    def fake_step(state, batch, lr, rng):
+        calls["single"] += 1
+        b = batch["answers"].shape[0]
+        return state + 1, {"loss": jnp.float32(state), "preds":
+                           jnp.zeros((b,), jnp.int32)}
+
+    def fake_multi(state, batches, lr, rng):
+        calls["multi"] += 1
+        k, b = batches["answers"].shape[:2]
+        losses = jnp.arange(k, dtype=jnp.float32) + state
+        return state + k, {"loss": losses,
+                           "preds": jnp.zeros((k, b), jnp.int32)}
+
+    runner = Runner(cfg, model=None, train_step=fake_step, eval_step=None,
+                    eval_step_att=None, answer_dict=None,
+                    train_multistep=fake_multi)
+
+    def mk_batch(q_len):
+        b = 4
+        return {"questions": np.zeros((b, q_len), np.int32),
+                "questionLengths": np.full((b,), q_len, np.int32),
+                "images": np.zeros((b, 2, 2, 3), np.float32),
+                "answers": np.zeros((b,), np.int32),
+                "mask": np.ones((b,), np.float32)}
+
+    # shapes: 3x len5 (full chunk), 2x len7 (shape change -> partial),
+    # then 1x len5 (tail partial)
+    batches = [mk_batch(5), mk_batch(5), mk_batch(5),
+               mk_batch(7), mk_batch(7), mk_batch(5)]
+
+    drained = []
+
+    def drain(pending):
+        bn, batch, out, d_atts, times = pending
+        drained.append((bn, float(out["loss"])))
+
+    state = runner._run_chunked(0, iter(batches), jax.random.key(0),
+                                drain, None, None, None, epoch=1)
+    assert calls["multi"] == 1                    # one full chunk of 3
+    assert calls["single"] == 3                   # 2 + 1 partials
+    assert state == 6                             # every batch stepped once
+    assert [bn for bn, _ in drained] == list(range(6))
+
+
 def test_cli_with_steps_per_dispatch(tmp_path):
     """Full CLI training with --stepsPerDispatch 2: the chunked driver
     loop logs per-batch stats, writes checkpoints and preds, and learns
