@@ -43,11 +43,30 @@ def build(variant):
     cfg = golden_cfg(variant)
     emb = make_embedding_init(cfg)
     qs, lengths, images, _ = make_inputs(seed=123)
+    extra = {}
+    kb_kw = {}
+    if variant == "gqa_mask":
+        # object features with adversarial garbage in the PADDED slots:
+        # the frozen logits lock that kb_lengths masks them exactly
+        rng = np.random.RandomState(321)
+        B = qs.shape[0]
+        _, n_obj_max, obj_d = cfg.imageDims
+        images = rng.randn(B, 1, n_obj_max, obj_d).astype(np.float32)
+        kbl = rng.randint(3, n_obj_max + 1, size=(B,)).astype(np.int32)
+        for b in range(B):
+            if kbl[b] < n_obj_max:
+                images[b, :, kbl[b]:] = 100.0 * rng.randn(
+                    1, n_obj_max - kbl[b], obj_d)
+        import jax.numpy as jnp
+        images = jnp.asarray(images)
+        extra["kbLengths"] = kbl
+        kb_kw = {"kb_lengths": jnp.asarray(kbl)}
     model = MACNetwork(cfg, emb)
     rngs = {"params": jax.random.key(7), "dropout": jax.random.key(8)}
-    variables = model.init(rngs, qs, lengths, images)
-    logits, _ = model.apply(variables, qs, lengths, images, train=False)
-    return variables["params"], (qs, lengths, images), np.asarray(logits)
+    variables = model.init(rngs, qs, lengths, images, **kb_kw)
+    logits, _ = model.apply(variables, qs, lengths, images, train=False,
+                            **kb_kw)
+    return variables["params"], (qs, lengths, images), np.asarray(logits), extra
 
 
 def main():
@@ -61,7 +80,7 @@ def main():
             # (pass --force for a deliberate, documented numerics change)
             print(f"{path}: exists, skipping (use --force to regenerate)")
             continue
-        params, (qs, lengths, images), logits = build(variant)
+        params, (qs, lengths, images), logits, extra = build(variant)
         flat = {f"param.{k}": v for k, v in flatten_params(params).items()}
         np.savez_compressed(
             path,
@@ -69,7 +88,7 @@ def main():
             images=np.asarray(images), logits=logits,
             jax_version=np.asarray(jax.__version__),
             flax_version=np.asarray(flax.__version__),
-            **flat)
+            **extra, **flat)
         print(f"{path}: logits {logits.shape}, "
               f"{len(flat)} param leaves, |logits| max "
               f"{np.abs(logits).max():.4f}")

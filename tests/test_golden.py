@@ -50,12 +50,23 @@ SWEEP_GOLDEN = [
     "ansEmb_SHARED_DIAG",
 ]
 
-ALL_GOLDEN = sorted(VARIANTS) + [f"sweep_{n}" for n in sorted(SWEEP_GOLDEN)]
+# gqa_mask: the GQA object-features path — per-example kb_lengths mask
+# the read attention, with adversarial garbage in the padded slots
+# (tests/test_gqa.py); locks the masking numerics bit-for-bit.
+ALL_GOLDEN = (sorted(VARIANTS) + [f"sweep_{n}" for n in sorted(SWEEP_GOLDEN)]
+              + ["gqa_mask"])
 
 
 def golden_cfg(name):
-    """Config for a golden corpus entry: a shipped variant or a
-    ``sweep_<case>`` rare-flag path."""
+    """Config for a golden corpus entry: a shipped variant, a
+    ``sweep_<case>`` rare-flag path, or the GQA mask case."""
+    if name == "gqa_mask":
+        cfg = small_cfg(**VARIANTS["args"])
+        cfg.dataset = "GQA"
+        cfg.imageDims = [1, 10, 12]         # [1, objectsNum, objDim]
+        cfg.stemNumLayers = 1
+        cfg.stemKernelSize = 1
+        return cfg
     if name.startswith("sweep_"):
         from tests.test_flag_sweep import BASE, CASES
         return small_cfg(**{**BASE, **CASES[name[len("sweep_"):]]})
@@ -88,17 +99,19 @@ def _model_and_inputs(variant, archive):
     qs = archive["questions"]
     lengths = archive["lengths"]
     images = archive["images"]
-    return model, qs, lengths, images
+    kb_kw = ({"kb_lengths": archive["kbLengths"]}
+             if "kbLengths" in archive.files else {})
+    return model, qs, lengths, images, kb_kw
 
 
 @pytest.mark.parametrize("variant", ALL_GOLDEN)
 def test_frozen_init_reproduces_golden_params(variant):
     archive = _load(variant)
-    model, qs, lengths, images = _model_and_inputs(variant, archive)
+    model, qs, lengths, images, kb_kw = _model_and_inputs(variant, archive)
     with jax.default_matmul_precision("highest"):
         variables = model.init(
             {"params": jax.random.key(7), "dropout": jax.random.key(8)},
-            qs, lengths, images)
+            qs, lengths, images, **kb_kw)
     golden = _unflatten(archive)
     flat_new = jax.tree_util.tree_leaves_with_path(variables["params"])
     flat_old = jax.tree_util.tree_leaves_with_path(golden)
@@ -114,11 +127,11 @@ def test_frozen_init_reproduces_golden_params(variant):
 @pytest.mark.parametrize("variant", ALL_GOLDEN)
 def test_stored_params_reproduce_golden_logits(variant):
     archive = _load(variant)
-    model, qs, lengths, images = _model_and_inputs(variant, archive)
+    model, qs, lengths, images, kb_kw = _model_and_inputs(variant, archive)
     params = jax.tree.map(np.asarray, _unflatten(archive))
     with jax.default_matmul_precision("highest"):
         logits, _ = model.apply({"params": params}, qs, lengths, images,
-                                train=False)
+                                train=False, **kb_kw)
     np.testing.assert_array_equal(
         np.asarray(logits), archive["logits"],
         err_msg="forward-math drift vs golden logits "
