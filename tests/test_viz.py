@@ -53,6 +53,41 @@ def test_visualization_renders(tmp_path, monkeypatch):
     assert any("text_WRONG" in f for f in files)
 
 
+def test_visualization_renders_gqa_objects(tmp_path):
+    """GQA object attention ([T, 1*objectsNum] maps over a [1, N] grid)
+    renders through the same CLI (attention-map export for the GQA-style
+    path, BASELINE.json configs)."""
+    exp = "vizgqa"
+    preds_dir = tmp_path / "preds" / exp
+    preds_dir.mkdir(parents=True)
+    T, N, L = 2, 10, 5
+    rng = np.random.RandomState(1)
+    insts = []
+    for i in range(2):
+        kb = rng.rand(T, N); kb /= kb.sum(-1, keepdims=True)
+        qa = rng.rand(T, L); qa /= qa.sum(-1, keepdims=True)
+        insts.append({
+            "index": i, "imageId": f"img{i}",
+            "question": "what color is the marked object",
+            "answer": "red", "prediction": "red",
+            "attentions": {"kb": kb.tolist(), "question": qa.tolist()},
+        })
+    with open(preds_dir / f"valPredictions-{exp}.json", "w") as f:
+        json.dump(insts, f)
+
+    import visualization
+    args = visualization.build_parser().parse_args([
+        "--expName", exp, "--tier", "val",
+        "--predsDir", str(tmp_path / "preds"),
+        "--imagesDir", str(tmp_path / "noimages"),
+        "--maxNum", "2",
+        "--imageDims", "1", str(N),
+    ])
+    visualization.main(args)
+    files = os.listdir(preds_dir)
+    assert any(f.endswith("Img_1.png") for f in files)
+
+
 def test_visualization_filters(tmp_path):
     import visualization
     args = visualization.build_parser().parse_args(
