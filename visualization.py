@@ -97,8 +97,13 @@ def should_skip(args, instance) -> bool:
 
 def in_img_name(args, image_id):
     d = args.imagesDir or f"./CLEVR_v1/images/{args.tier}"
-    return "{}/CLEVR_{}_{}.png".format(
-        d, args.tier, ("000000%d" % int(image_id))[-6:])
+    try:
+        stem = "CLEVR_{}_{}".format(args.tier,
+                                    ("000000%d" % int(image_id))[-6:])
+    except (TypeError, ValueError):
+        # string image ids (NLVR/GQA): use them verbatim
+        stem = str(image_id)
+    return f"{d}/{stem}.png"
 
 
 def out_name(args, instance, suffix):
