@@ -162,3 +162,43 @@ def test_gqa_cli_end_to_end(gqa_root):
     with open(cfg.predsFile("val")) as f:
         preds = json.load(f)
     assert len(preds) > 0 and all("prediction" in p for p in preds)
+
+
+def test_gqa_serve_roundtrip(gqa_root, tmp_path):
+    """serve.py answers ad-hoc GQA requests from a trained checkpoint,
+    loading object features + valid-object counts and masking the read
+    attention (string image ids, objects layout)."""
+    import serve
+    from main import main
+
+    cfg = gqa_cfg(gqa_root, expName="gqasrv", train=True, epochs=4,
+                  getPreds=False, evalTrain=False, batchSize=8,
+                  weightsPath=str(tmp_path / "w"),
+                  predsPath=str(tmp_path / "p"),
+                  logPath=str(tmp_path / "r"),
+                  configPath=str(tmp_path / "r"))
+    main(cfg)
+
+    requests = [
+        {"question": "What color is the marked object?",
+         "imageId": "val_img0"},
+        {"question": "What color is the marked object?",
+         "imageId": "val_img1"},
+    ]
+    inp, outp = tmp_path / "req.json", tmp_path / "ans.json"
+    with open(inp, "w") as f:
+        json.dump(requests, f)
+
+    cfg2 = gqa_cfg(gqa_root, expName="gqasrv", train=False, restore=True,
+                   batchSize=8, getPreds=False, evalTrain=False,
+                   weightsPath=str(tmp_path / "w"),
+                   predsPath=str(tmp_path / "p"),
+                   logPath=str(tmp_path / "r"),
+                   configPath=str(tmp_path / "r"))
+    stats = serve.serve(cfg2, str(inp), str(outp), tier="val")
+    assert stats["count"] == 2
+    with open(outp) as f:
+        answers = json.load(f)
+    assert len(answers) == 2
+    assert all("prediction" in a and isinstance(a["prediction"], str)
+               for a in answers)
