@@ -298,9 +298,10 @@ class Config:
     stepsPerDispatch: int = 1       # K optimizer steps per device dispatch
                                     # (lax.scan over K staged batches) —
                                     # amortizes per-step host dispatch
-                                    # latency; bit-identical to K single
-                                    # steps (train/steps.py). Single-host
-                                    # training only
+                                    # latency; numerically identical to K
+                                    # single steps up to XLA fusion-order
+                                    # rounding (train/steps.py).
+                                    # Single-host training only
     meshData: int = 0               # data-parallel mesh axis size (0 = all devices)
     meshModel: int = 1              # model-parallel mesh axis (vocab-dim sharding)
     prefetchDepth: int = 2          # device_put double-buffer depth
@@ -596,6 +597,11 @@ def config_gqa(cfg: Config) -> Config:
         dim=cfg.wrdEmbDim)
     cfg.questionLims = [12, 18, 25]
     cfg.imageDims = [1, cfg.gqaObjectsNum, cfg.gqaObjectDim]
+    # objects are an unordered set: force the pointwise stem (a k-wide
+    # conv would smear neighboring/padded slots before the kb_lengths
+    # mask applies); stemKernelSizes (the explicit list) still overrides
+    cfg.stemNumLayers = 1
+    cfg.stemKernelSize = 1
     return cfg
 
 

@@ -293,10 +293,16 @@ class Runner:
             return state, (chunk, outs, (t0, t1, t2))
 
         def drain_chunk(pending):
-            entries, outs, times = pending
+            entries, outs, (t0, t1, t2) = pending
+            # the chunk's wall time covers ALL its batches: apportion it
+            # so per-batch readTime/trainTime and the epoch stats stay
+            # honest (drain computes t1-t0 and t2-t1 per entry)
+            n = max(1, len(entries))
+            read_dt, run_dt = (t1 - t0) / n, (t2 - t1) / n
             for i, (bn, b) in enumerate(entries):
                 out_i = {k: v[i] for k, v in outs.items()}
-                drain((bn, b, out_i, None, times))
+                drain((bn, b, out_i, None,
+                       (t0, t0 + read_dt, t0 + read_dt + run_dt)))
 
         chunk, chunk_sig, pending = [], None, None
         for batch_num, batch in enumerate(prefetch):
@@ -309,25 +315,22 @@ class Runner:
                 pending, chunk = new_pending, []
             chunk_sig = sig
             chunk.append((batch_num, batch))
-            boundary = (
-                (saver_hook is not None and batch_num > 0
-                 and batch_num % cfg.saveEvery == 0)
-                or (calle is not None and batch_num > 0
-                    and batch_num % cfg.calleEvery == 0)
-                or (stop_flag is not None and stop_flag.get("flag")))
-            if len(chunk) == K or boundary:
+            save_now = (saver_hook is not None and batch_num > 0
+                        and batch_num % cfg.saveEvery == 0)
+            calle_now = (calle is not None and batch_num > 0
+                         and batch_num % cfg.calleEvery == 0)
+            stop_now = stop_flag is not None and stop_flag.get("flag")
+            if len(chunk) == K or save_now or calle_now or stop_now:
                 state, new_pending = dispatch(state, chunk)
                 if pending is not None:
                     drain_chunk(pending)
                 pending, chunk = new_pending, []
-            if saver_hook is not None and batch_num > 0 \
-                    and batch_num % cfg.saveEvery == 0:
+            if save_now:
                 print("\nsaving weights (mid-epoch)")
                 saver_hook(state, epoch)
-            if calle is not None and batch_num > 0 \
-                    and batch_num % cfg.calleEvery == 0:
+            if calle_now:
                 calle()
-            if stop_flag is not None and stop_flag.get("flag"):
+            if stop_now:
                 break
         if chunk:
             state, new_pending = dispatch(state, chunk)

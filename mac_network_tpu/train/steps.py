@@ -147,9 +147,10 @@ def make_train_multistep(model, cfg: Config, tx):
     ``batches`` is the per-batch pytree stacked on a leading K axis and
     the step body runs under ``lax.scan``.  Per-step host dispatch
     through a tunneled/remote TPU costs ~1-4 ms; the scan amortizes it
-    to 1/K while computing bit-identical results to K sequential
-    single-step calls (the body folds the rng with state.step, which
-    increments through the scan).  Metrics come back stacked [K, ...]
+    to 1/K while computing numerically identical results to K sequential
+    single-step calls — same math and same dropout masks (the body folds
+    the rng with state.step, which increments through the scan); only
+    XLA fusion-order rounding (~1e-6) differs.  Metrics come back stacked [K, ...]
     so the driver logs per-batch rows exactly as before.  TPU-first
     design; the reference dispatches one sess.run per batch
     (model.py:746)."""

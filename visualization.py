@@ -56,6 +56,12 @@ def build_parser():
     p.add_argument("--filterIn", action="store_true")
     p.add_argument("--filterList", nargs="*")
     p.add_argument("--imageDims", nargs=2, type=int, default=[14, 14])
+    p.add_argument("--dataset", default="CLEVR",
+                   choices=["CLEVR", "NLVR", "GQA"],
+                   help="picks the input-image naming scheme (CLEVR "
+                        "composes CLEVR_{tier}_{id:06d}.png; NLVR/GQA use "
+                        "the id verbatim — real GQA ids are numeric "
+                        "strings)")
     return p
 
 
@@ -97,13 +103,16 @@ def should_skip(args, instance) -> bool:
 
 def in_img_name(args, image_id):
     d = args.imagesDir or f"./CLEVR_v1/images/{args.tier}"
-    try:
-        stem = "CLEVR_{}_{}".format(args.tier,
-                                    ("000000%d" % int(image_id))[-6:])
-    except (TypeError, ValueError):
-        # string image ids (NLVR/GQA): use them verbatim
-        stem = str(image_id)
-    return f"{d}/{stem}.png"
+    if args.dataset == "CLEVR":
+        try:
+            return "{}/CLEVR_{}_{}.png".format(
+                d, args.tier, ("000000%d" % int(image_id))[-6:])
+        except (TypeError, ValueError):
+            pass
+    # NLVR/GQA (and non-numeric CLEVR ids): the id names the file — real
+    # GQA ids are numeric STRINGS, so the --dataset flag, not
+    # int()-ability, picks the branch
+    return f"{d}/{image_id}.png"
 
 
 def out_name(args, instance, suffix):
