@@ -294,7 +294,11 @@ class Config:
                                     # fresh per-step masks); in-kernel
                                     # dropout uses its own RNG stream
                                     # (same keep-probs, different sample —
-                                    # the --prngImpl stance, PARITY.md)
+                                    # the --prngImpl stance, PARITY.md).
+                                    # Composes with the DP mesh (equal
+                                    # results; tested) but the kernel does
+                                    # not partition — use the XLA step for
+                                    # real multi-chip throughput
     stepsPerDispatch: int = 1       # K optimizer steps per device dispatch
                                     # (lax.scan over K staged batches) —
                                     # amortizes per-step host dispatch

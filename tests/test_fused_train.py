@@ -258,3 +258,45 @@ def test_fused_train_masks_tile_invariant():
         np.testing.assert_array_equal(
             np.asarray(v), np.asarray(flat8[jax.tree_util.keystr(path)]),
             err_msg=f"tile-dependent grad at {jax.tree_util.keystr(path)}")
+
+
+def test_fused_train_under_dp_mesh():
+    """--fusedTrain composes with the data-parallel mesh: XLA resolves the
+    pallas custom_call by gathering its operands (no sharding rule), so
+    results equal the single-device fused step — a correctness guarantee;
+    on real multi-chip hardware the kernel itself does not partition, so
+    the XLA train step is the recommended multi-chip path (main.py)."""
+    import numpy as _np
+    from mac_network_tpu.train import (create_train_state, make_optimizer,
+                                       make_train_step)
+    from mac_network_tpu.parallel import make_mesh, shard_batch, shard_params
+
+    def run(mesh_on):
+        cfg = det_cfg()
+        if mesh_on:
+            cfg.meshData = 8
+        model, emb, variables, qs, lens, imgs = make_model_batch(cfg, 16)
+        engine = FusedTrainEngine(cfg, emb, batch_tile=8)
+        tx = make_optimizer(cfg)
+        batch = {"questions": _np.asarray(qs),
+                 "questionLengths": _np.asarray(lens),
+                 "images": _np.asarray(imgs),
+                 "answers": _np.zeros((16,), _np.int32),
+                 "mask": _np.ones((16,), _np.float32)}
+        if mesh_on:
+            mesh = make_mesh(cfg)
+            params = shard_params(variables["params"], mesh)
+            batch = shard_batch(batch, mesh)
+        else:
+            params = variables["params"]
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state = create_train_state(cfg, {"params": params}, tx)
+        step = make_train_step(engine, cfg, tx)
+        losses = []
+        for _ in range(2):
+            state, m = step(state, batch, cfg.lr, jax.random.key(0))
+            losses.append(float(m["loss"]))
+        return losses
+
+    assert jax.device_count() >= 8
+    np.testing.assert_allclose(run(False), run(True), rtol=2e-5)
