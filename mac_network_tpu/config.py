@@ -329,8 +329,12 @@ class Config:
     imagesFilename: str = "{tier}.h5"
     imgIdsFilename: str = "{tier}ImgIds.json"
     imgInfoFilename: str = "{tier}ImgInfo.json"
+    gqaFeatures: str = "objects"    # GQA: objects | spatial (branch supports
+                                    # both; spatial = CLEVR-like CHW grid)
     gqaObjectsNum: int = 100        # GQA: detector objects per image
     gqaObjectDim: int = 2048        # GQA: object feature dimension
+    gqaSpatialDims: List[int] = field(
+        default_factory=lambda: [7, 7, 2048])  # GQA spatial feature grid
     wordVectorsFile: str = ""
     imageDims: List[int] = field(default_factory=lambda: [14, 14, 1024])
     programLims: List[int] = field(default_factory=lambda: [5, 10, 15, 20])
@@ -594,12 +598,18 @@ def config_gqa(cfg: Config) -> Config:
     (--stemNumLayers 1, kernel 1) to avoid smearing neighboring objects."""
     cfg.dataPath = os.path.join(cfg.dataBasedir, "gqa")
     cfg.datasetFilename = "{tier}_questions.json"
-    cfg.imagesFilename = "{tier}_objects.h5"
     cfg.imgIdsFilename = "{tier}ImgIds.json"
-    cfg.imgInfoFilename = "{tier}ImgInfo.json"
     cfg.wordVectorsFile = "./CLEVR_v1/data/glove/glove.6B.{dim}d.txt".format(
         dim=cfg.wrdEmbDim)
     cfg.questionLims = [12, 18, 25]
+    if cfg.gqaFeatures == "spatial":
+        # CNN spatial grid (CHW in the h5, like CLEVR): no object masks,
+        # the regular conv stem applies
+        cfg.imagesFilename = "{tier}_spatial.h5"
+        cfg.imageDims = list(cfg.gqaSpatialDims)
+        return cfg
+    cfg.imagesFilename = "{tier}_objects.h5"
+    cfg.imgInfoFilename = "{tier}ImgInfo.json"
     cfg.imageDims = [1, cfg.gqaObjectsNum, cfg.gqaObjectDim]
     # objects are an unordered set: force the pointwise stem (a k-wide
     # conv would smear neighboring/padded slots before the kb_lengths

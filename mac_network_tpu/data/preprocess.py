@@ -283,7 +283,7 @@ class Preprocesser:
         images = {"imagesFilename": cfg.imagesFile(tier)}
         if cfg.dataset in ("NLVR", "GQA"):
             images["imageIdsFilename"] = cfg.imagesIdsFile(tier)
-        if cfg.dataset == "GQA":
+        if cfg.dataset == "GQA" and cfg.gqaFeatures == "objects":
             images["imagesInfoFilename"] = cfg.imagesInfoFile(tier)
         return {"instances": instances, "images": images, "train": train}
 

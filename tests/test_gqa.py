@@ -202,3 +202,53 @@ def test_gqa_serve_roundtrip(gqa_root, tmp_path):
     assert len(answers) == 2
     assert all("prediction" in a and isinstance(a["prediction"], str)
                for a in answers)
+
+
+def test_gqa_spatial_mode(gqa_root, tmp_path):
+    """--gqaFeatures spatial: CLEVR-like CHW grid features with the
+    regular conv stem and NO object masks (GQA branch supports both
+    feature types)."""
+    import h5py
+    from mac_network_tpu.data import Preprocesser
+    from mac_network_tpu.data.loader import ImageLoader
+    from mac_network_tpu.models import MACNetwork
+
+    # materialize a spatial feature file next to the objects one
+    data_dir = os.path.join(str(gqa_root), "gqa")
+    with open(os.path.join(data_dir, "valImgIds.json")) as f:
+        ids = json.load(f)
+    rng = np.random.RandomState(2)
+    feats = rng.randn(len(ids), 8, 3, 3).astype(np.float32)   # [N, C, H, W]
+    with h5py.File(os.path.join(data_dir, "val_spatial.h5"), "w") as hf:
+        hf.create_dataset("features", data=feats)
+
+    cfg = gqa_cfg(gqa_root, gqaFeatures="spatial",
+                  gqaSpatialDims=[3, 3, 8], stemNumLayers=2,
+                  stemKernelSize=3)
+    assert cfg.imageDims == [3, 3, 8]
+    pp = Preprocesser(cfg)
+    tier = pp.readTier("val", train=False)
+    assert "imagesInfoFilename" not in tier["images"]
+    loader = ImageLoader(tier["images"], cfg)
+    loader.open()
+    try:
+        idl = [i["imageId"] for i in tier["instances"][:4]]
+        imgs = loader.load_batch({"imageIds": idl})
+        assert imgs.shape == (4, 3, 3, 8)          # HWC after transpose
+        assert loader.objects_num({"imageIds": idl}) is None
+    finally:
+        loader.close()
+
+    cfg.questionWordsNum = 30
+    cfg.answerWordsNum = 8
+    emb = {"q": rng.randn(29, cfg.wrdEmbDim).astype(np.float32), "a": None}
+    model = MACNetwork(cfg, emb)
+    qs = jnp.asarray(rng.randint(1, 30, (4, 6)), jnp.int32)
+    lens = jnp.asarray(rng.randint(2, 7, (4,)), jnp.int32)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        qs, lens, jnp.asarray(imgs), train=False)
+    logits, _ = model.apply(variables, qs, lens, jnp.asarray(imgs),
+                            train=False)
+    assert logits.shape == (4, 8)
+    assert np.isfinite(np.asarray(logits)).all()
