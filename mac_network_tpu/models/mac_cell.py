@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mac_network_tpu.config import Config
-from mac_network_tpu.ops.activations import Act, apply_act_fn
+from mac_network_tpu.ops.activations import Act
 from mac_network_tpu.ops.attention import (Inter2Logits, att2smry, exp_mask,
                                            masked_softmax)
 from mac_network_tpu.ops.dropout import apply_var_dp_mask

@@ -50,7 +50,6 @@ mac_cell.py:305-375 (write), model.py:447-458 (unrolled recurrence).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -931,7 +930,7 @@ class FusedTrainEngine:
     def apply(self, variables, question_ids, lengths, images,
               train: bool = True, rngs=None, interpret=None):
         from mac_network_tpu.ops.pallas.mac_fused import (
-            FusedMACEngine, extract_mac_weights, _apply_linear)
+            extract_mac_weights, _apply_linear)
         from mac_network_tpu.ops.dropout import generate_var_dp_mask
 
         cfg = self.cfg
