@@ -151,11 +151,15 @@ class ImageLoader:
         return np.ascontiguousarray(arr.transpose(0, 2, 3, 1))
 
     def objects_num(self, batch: Dict):
-        """Per-example valid-object counts (GQA), or None."""
+        """Per-example valid-object counts (GQA), or None.  Accepts both
+        the plain {imageId: count} layout and the GQA release's
+        gqa_objects_info.json entries ({imageId: {"objectsNum": n, ...}})."""
         if self.objects_info is None:
             return None
-        return np.asarray([self.objects_info[str(i)]
-                           for i in batch["imageIds"]], np.int32)
+        def count(i):
+            v = self.objects_info[str(i)]
+            return v["objectsNum"] if isinstance(v, dict) else v
+        return np.asarray([count(i) for i in batch["imageIds"]], np.int32)
 
 
 # ---------------------------------------------------------------- prefetcher
