@@ -288,6 +288,8 @@ def main():
     # per-step host dispatch latency (train/steps.py)
     train_scan8_ex_s = None
     try:
+        if jax.default_backend() == "cpu":
+            raise RuntimeError("skipped on cpu")
         from mac_network_tpu.train.steps import make_train_multistep
         K = 8
         multi_step = make_train_multistep(model_t, cfg, tx)
