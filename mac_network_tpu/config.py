@@ -448,7 +448,8 @@ class Config:
 # --------------------------------------------------------------------------
 
 _CHOICES = {
-    "dataset": ["CLEVR", "NLVR"],
+    "dataset": ["CLEVR", "NLVR", "GQA"],
+    "gqaFeatures": ["objects", "spatial"],
     "servingEngine": ["auto", "xla", "pallas"],
     # Deviation from the reference: its choices list contains the broken
     # single string "questionLength, programLength" (reference:

@@ -252,3 +252,17 @@ def test_gqa_spatial_mode(gqa_root, tmp_path):
                             train=False)
     assert logits.shape == (4, 8)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_gqa_cli_flags():
+    """The GQA flags parse from the CLI (the parser auto-generates flags
+    from the dataclass, but choices lists are explicit — --dataset GQA
+    was initially rejected)."""
+    from mac_network_tpu.config import parse_args
+    c = parse_args(["--dataset", "GQA", "--gqaFeatures", "spatial",
+                    "--gqaObjectsNum", "50", "--gqaObjectDim", "64",
+                    "--stepsPerDispatch", "4"])
+    assert (c.dataset, c.gqaFeatures, c.gqaObjectsNum, c.gqaObjectDim,
+            c.stepsPerDispatch) == ("GQA", "spatial", 50, 64, 4)
+    with pytest.raises(SystemExit):
+        parse_args(["--gqaFeatures", "bogus"])
