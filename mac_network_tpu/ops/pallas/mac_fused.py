@@ -83,9 +83,7 @@ def supports_fused_config(cfg: Config) -> bool:
     that regime should use ``MACNetwork.apply`` instead.
     """
     common = (
-        cfg.dataset != "GQA"     # per-example KB masks (kb_lengths) are
-                                 # not implemented in the fused kernels
-        and cfg.readProjInputs and not cfg.readProjShared
+        cfg.readProjInputs and not cfg.readProjShared
         and cfg.readMemAttType == "MUL" and cfg.readMemConcatKB
         and cfg.readMemConcatProj and cfg.readMemProj
         and cfg.readMemAct == "RELU"
@@ -159,7 +157,7 @@ def _round_up(x: int, m: int) -> int:
 def _read_write_step(relu_kind, S_real,
                      kb, kbp, kbw1b, memory, control,
                      wmem_ref, bmem_ref, w1a_ref, w2_ref, b2_ref,
-                     wr128, br, w3_ref, b3_ref, smry=None):
+                     wr128, br, w3_ref, b3_ref, smry=None, kmask=None):
     """One read + write step shared by both kernel bodies.
 
     kb/kbp: [Bt, Sp, d] VMEM-resident values; kbw1b: [Bt*Sp, d] hoisted
@@ -167,6 +165,10 @@ def _read_write_step(relu_kind, S_real,
     wr128: [d, 128] — the read-logits vector weight broadcast across a full
     MXU lane tile, so the rank-1 logits contraction runs on the MXU instead
     of as a (slow) cross-lane VPU reduction.
+    kmask: optional [Bt, Sp] f32 per-example additive mask (0 valid /
+    NEG_INF masked) — GQA's per-image valid-object counts (kb_lengths,
+    reference branch semantics; the XLA path's masked_softmax).  When
+    given it already folds the static Sp/S_real padding.
     Returns the pre-gate new memory.
     """
     Bt, Sp, d = kb.shape
@@ -187,9 +189,12 @@ def _read_write_step(relu_kind, S_real,
     # Max-free softmax: exact whenever max|logit| <= 80 (the clamp keeps
     # exp finite beyond that; trained-model KB logits are O(10)); the
     # epsilon keeps an all-underflow row at zero instead of NaN.
-    pad_mask = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (1, Sp, 1), 1) < S_real,
-        0.0, NEG_INF).astype(jnp.float32)
+    if kmask is None:
+        pad_mask = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (1, Sp, 1), 1) < S_real,
+            0.0, NEG_INF).astype(jnp.float32)
+    else:
+        pad_mask = kmask[:, :, None]               # [Bt, Sp, 1] f32
     rl = r.reshape(Bt, Sp, 128) + br + pad_mask
     ex = jnp.exp(jnp.minimum(rl, 80.0))
     sm = jnp.sum(ex, axis=1, keepdims=True)
@@ -223,7 +228,8 @@ def _project_kb_in_kernel(kb, wpx_ref, bpx_ref, w1b_ref, b1_ref):
 
 def _build_hoisted_kernel(T: int, relu_kind: str, S_real: int,
                           use_gate: bool, use_satt: bool,
-                          with_mem_hist: bool = False):
+                          with_mem_hist: bool = False,
+                          with_kb_mask: bool = False):
     """Kernel body for the non-recurrent-control variants (args, args2,
     args3, args4): controls / gates / self-attention weights arrive
     precomputed; the loop is the memory chain only.
@@ -236,6 +242,7 @@ def _build_hoisted_kernel(T: int, relu_kind: str, S_real: int,
     def kernel(*refs):
         it = iter(refs)
         kb_ref = next(it)
+        kmask_ref = next(it) if with_kb_mask else None   # [Bt, Sp] f32
         ctrl_ref = next(it)                       # [T, Bt, d]
         gates_ref = next(it) if use_gate else None   # [T, Bt, d]
         satt_ref = next(it) if use_satt else None    # [T, T, Bt] f32
@@ -251,6 +258,7 @@ def _build_hoisted_kernel(T: int, relu_kind: str, S_real: int,
         Bt, Sp, d = kb_ref.shape
         dtype = kb_ref.dtype
         kb = kb_ref[...]
+        kmask = kmask_ref[...] if with_kb_mask else None
         kbp, kbw1b = _project_kb_in_kernel(kb, wpx_ref, bpx_ref,
                                            w1b_ref, b1_ref)
         wr128 = wr_ref[...]
@@ -274,7 +282,7 @@ def _build_hoisted_kernel(T: int, relu_kind: str, S_real: int,
             new_mem = _read_write_step(
                 relu_kind, S_real, kb, kbp, kbw1b, memory, control,
                 wmem_ref, bmem_ref, w1a_ref, w2_ref, b2_ref,
-                wr128, br, w3_ref, b3_ref, smry=smry)
+                wr128, br, w3_ref, b3_ref, smry=smry, kmask=kmask)
             if use_gate:
                 z = gates_ref[t]
                 new_mem = new_mem * z + memory * (1.0 - z)
@@ -291,7 +299,8 @@ def _build_hoisted_kernel(T: int, relu_kind: str, S_real: int,
 
 def _build_feedprev_kernel(T: int, relu_kind: str, S_real: int,
                            use_gate: bool, feed_prev_att: bool,
-                           cont_act: str, gate_bias: float):
+                           cont_act: str, gate_bias: float,
+                           with_kb_mask: bool = False):
     """Kernel body for args1 (controlFeedPrev): the control recurrence is
     sequential, so the control unit runs in-loop over VMEM-resident words.
     The ci half of the contControl projection (+ its bias) and the shared
@@ -300,6 +309,7 @@ def _build_feedprev_kernel(T: int, relu_kind: str, S_real: int,
     def kernel(*refs):
         it = iter(refs)
         kb_ref = next(it)
+        kmask_ref = next(it) if with_kb_mask else None   # [Bt, Sp] f32
         words_ref = next(it)                      # [Bt, L, d]
         wmask_ref = next(it)                      # [Bt, L] f32 additive
         ciproj_ref = next(it)                     # [T, Bt, d]
@@ -318,6 +328,7 @@ def _build_feedprev_kernel(T: int, relu_kind: str, S_real: int,
         Bt, Sp, d = kb_ref.shape
         dtype = kb_ref.dtype
         kb = kb_ref[...]
+        kmask = kmask_ref[...] if with_kb_mask else None
         kbp, kbw1b = _project_kb_in_kernel(kb, wpx_ref, bpx_ref,
                                            w1b_ref, b1_ref)
         words = words_ref[...]
@@ -349,7 +360,7 @@ def _build_feedprev_kernel(T: int, relu_kind: str, S_real: int,
             new_mem = _read_write_step(
                 relu_kind, S_real, kb, kbp, kbw1b, memory, new_control,
                 wmem_ref, bmem_ref, w1a_ref, w2_ref, b2_ref,
-                wr128, br, w3_ref, b3_ref)
+                wr128, br, w3_ref, b3_ref, kmask=kmask)
             if use_gate:
                 z = jax.nn.sigmoid(
                     (_dot(new_control, wg_ref[...]) + bg_ref[...]
@@ -370,6 +381,7 @@ def fused_mac_steps(cfg: Config, weights: Dict[str, jnp.ndarray],
                     kb, mem0,
                     controls=None, gates=None, satt=None,
                     words=None, wmask=None, ci_proj=None, ctrl0=None,
+                    kb_lengths=None,
                     s_real: Optional[int] = None,
                     batch_tile: int = 8,
                     interpret: Optional[bool] = None,
@@ -385,7 +397,10 @@ def fused_mac_steps(cfg: Config, weights: Dict[str, jnp.ndarray],
     gates [T, B, d] (sigmoid applied, gateBias folded), optional satt
     [T, T, B] f32 (softmaxed self-attention weights over history slots).
     feedPrev path: words [B, L, d], wmask [B, L] f32 additive,
-    ci_proj [T, B, d], ctrl0 [B, d].  Returns final memory [B, d] — or
+    ci_proj [T, B, d], ctrl0 [B, d].  kb_lengths: optional [B] int —
+    per-example valid KB-slot counts (GQA object features); padded slots
+    get an additive NEG_INF in the read softmax, matching the XLA path's
+    masked_softmax.  Returns final memory [B, d] — or
     (final memory, per-step memory history [T, B, d]) when
     ``with_memories`` (non-feedPrev only; the debug-outputs path).
     """
@@ -399,7 +414,8 @@ def fused_mac_steps(cfg: Config, weights: Dict[str, jnp.ndarray],
     dtype = kb.dtype
 
     _BATCH_AXES = dict(kb=0, mem0=0, controls=1, gates=1,
-                       satt=2, words=0, wmask=0, ci_proj=1, ctrl0=0)
+                       satt=2, words=0, wmask=0, ci_proj=1, ctrl0=0,
+                       kb_lengths=0)
 
     # TPU lowering needs the batch tile (a sublane dim) to be a multiple
     # of 8: pad ragged batches with zero rows and slice the output.  The
@@ -409,17 +425,20 @@ def fused_mac_steps(cfg: Config, weights: Dict[str, jnp.ndarray],
         Bp = _round_up(B, 8)
         args = dict(kb=kb, mem0=mem0,
                     controls=controls, gates=gates, satt=satt, words=words,
-                    wmask=wmask, ci_proj=ci_proj, ctrl0=ctrl0)
+                    wmask=wmask, ci_proj=ci_proj, ctrl0=ctrl0,
+                    kb_lengths=kb_lengths)
         def padb(x, axis):
             if x is None:
                 return None
             pads = [(0, 0)] * x.ndim
             pads[axis] = (0, Bp - B)
             return jnp.pad(x, pads)
+        # kb_lengths pad rows are 0 -> fully masked rows; the read
+        # softmax's epsilon keeps them at zero instead of NaN
         padded = {k: padb(v, _BATCH_AXES[k]) for k, v in args.items()}
         kw = {k: padded[k] for k in
               ("controls", "gates", "satt", "words", "wmask",
-               "ci_proj", "ctrl0")}
+               "ci_proj", "ctrl0", "kb_lengths")}
         out = fused_mac_steps(
             cfg, weights, padded["kb"], padded["mem0"], s_real=S_real,
             batch_tile=batch_tile, interpret=interpret,
@@ -437,7 +456,8 @@ def fused_mac_steps(cfg: Config, weights: Dict[str, jnp.ndarray],
         axes = _BATCH_AXES
         args = dict(kb=kb, mem0=mem0,
                     controls=controls, gates=gates, satt=satt, words=words,
-                    wmask=wmask, ci_proj=ci_proj, ctrl0=ctrl0)
+                    wmask=wmask, ci_proj=ci_proj, ctrl0=ctrl0,
+                    kb_lengths=kb_lengths)
         def sl(x, axis, lo, hi):
             if x is None:
                 return None
@@ -450,7 +470,7 @@ def fused_mac_steps(cfg: Config, weights: Dict[str, jnp.ndarray],
             part = {k: sl(v, axes[k], lo, hi) for k, v in args.items()}
             kw = {k: part[k] for k in
                   ("controls", "gates", "satt", "words", "wmask",
-                   "ci_proj", "ctrl0")}
+                   "ci_proj", "ctrl0", "kb_lengths")}
             outs.append(fused_mac_steps(
                 cfg, weights, part["kb"],
                 part["mem0"], s_real=S_real, batch_tile=batch_tile,
@@ -497,10 +517,21 @@ def fused_mac_steps(cfg: Config, weights: Dict[str, jnp.ndarray],
     inputs = [kb]
     scratch_shapes = []
 
+    with_kb_mask = kb_lengths is not None
+    if with_kb_mask:
+        # fold the per-example valid-slot count AND the static Sp/S_real
+        # padding into one additive f32 mask, computed once in the glue
+        lim = jnp.minimum(kb_lengths.astype(jnp.int32), S_real)
+        kmask = jnp.where(jnp.arange(Sp)[None, :] < lim[:, None],
+                          0.0, NEG_INF).astype(jnp.float32)
+        in_specs.append(tile(Bt, Sp))
+        inputs.append(kmask)
+
     if not feed_prev:
         kernel_fn = _build_hoisted_kernel(T, cfg.relu, S_real, use_gate,
                                           use_satt,
-                                          with_mem_hist=with_memories)
+                                          with_mem_hist=with_memories,
+                                          with_kb_mask=with_kb_mask)
         in_specs.append(step_tile(T, Bt, d))
         inputs.append(controls.astype(dtype))
         if use_gate:
@@ -528,7 +559,7 @@ def fused_mac_steps(cfg: Config, weights: Dict[str, jnp.ndarray],
             else cfg.controlContAct
         kernel_fn = _build_feedprev_kernel(
             T, cfg.relu, S_real, use_gate, cfg.controlFeedPrevAtt,
-            cont_act, float(cfg.writeGateBias))
+            cont_act, float(cfg.writeGateBias), with_kb_mask=with_kb_mask)
         in_specs += [tile(Bt, L, d), tile(Bt, L),
                      step_tile(T, Bt, d), tile(Bt, d), tile(Bt, d)]
         inputs += [words.astype(dtype), wmask.astype(jnp.float32),
@@ -694,7 +725,8 @@ class FusedMACEngine:
             vec = _apply_linear(vec, enc["projQ"])
         return words, cntx, vec, a_emb
 
-    def _kb_attentions(self, weights, kb, mem0, mem_hist, controls):
+    def _kb_attentions(self, weights, kb, mem0, mem_hist, controls,
+                       kb_lengths=None):
         """Recompute the per-step KB read attention (reference:
         mac_cell.py:209-277) in XLA from the kernel's memory-history debug
         output: the read attention at step t is a closed function of
@@ -721,15 +753,23 @@ class FusedMACEngine:
             "tbsd,d->tbs", e, weights["wr"].astype(dtype),
             preferred_element_type=jnp.float32)
         rlog = rlog + weights["br"].astype(jnp.float32)
+        if kb_lengths is not None:
+            # the XLA path's masked_softmax (exp_mask additive -1e30)
+            valid = (jnp.arange(rlog.shape[-1])[None, None, :]
+                     < kb_lengths[None, :, None])
+            rlog = rlog + (1.0 - valid.astype(jnp.float32)) * NEG_INF
         return jax.nn.softmax(rlog, axis=-1)                 # [T,B,S] f32
 
     def __call__(self, variables: Dict[str, Any], question_ids, lengths,
                  images, interpret: Optional[bool] = None,
-                 get_att: bool = False):
+                 get_att: bool = False, kb_lengths=None):
         """Serving forward.  With ``get_att`` (non-feedPrev configs only)
         returns (logits, attentions) with the XLA path's schema:
         question [T,B,L], kb [T,B,S], gate [T,B,gateDim] (writeGate),
-        self [T,B,T+1] (writeSelfAtt) — reference model.py:732-760."""
+        self [T,B,T+1] (writeSelfAtt) — reference model.py:732-760.
+        kb_lengths: per-example valid KB-slot counts (GQA object
+        features) — masks the read attention exactly like the XLA path's
+        masked_softmax."""
         cfg = self.cfg
         if get_att and cfg.controlFeedPrev:
             raise NotImplementedError(
@@ -857,13 +897,16 @@ class FusedMACEngine:
         if get_att:
             final_memory, mem_hist = fused_mac_steps(
                 cfg, weights, kb, mem0, batch_tile=self.batch_tile,
-                interpret=interpret, with_memories=True, **kwargs)
+                interpret=interpret, with_memories=True,
+                kb_lengths=kb_lengths, **kwargs)
             atts["kb"] = self._kb_attentions(
-                weights, kb, mem0, mem_hist, controls)
+                weights, kb, mem0, mem_hist, controls,
+                kb_lengths=kb_lengths)
         else:
             final_memory = fused_mac_steps(
                 cfg, weights, kb, mem0,
-                batch_tile=self.batch_tile, interpret=interpret, **kwargs)
+                batch_tile=self.batch_tile, interpret=interpret,
+                kb_lengths=kb_lengths, **kwargs)
 
         features = self.output.apply({"params": params["output"]},
                                      final_memory, vec_q, images, train=False)

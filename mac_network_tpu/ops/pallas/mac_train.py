@@ -71,6 +71,9 @@ def supports_fused_train(cfg: Config) -> bool:
     mode)."""
     return (
         supports_fused_config(cfg)
+        and cfg.dataset != "GQA"   # per-example KB masks (kb_lengths) are
+                                   # implemented in the serving kernels
+                                   # only, not the training pair
         and not cfg.controlFeedPrev
         and not cfg.writeSelfAtt
         and not (cfg.writeGate and cfg.writeGateShared)

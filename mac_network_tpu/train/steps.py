@@ -169,8 +169,10 @@ def make_fused_eval_step(engine, cfg: Config):
     serves getAtt."""
 
     def eval_step(params, batch_stats, batch):
+        kb_kw = ({"kb_lengths": batch["imageObjectsNum"]}
+                 if "imageObjectsNum" in batch else {})
         logits = engine({"params": params}, batch["questions"],
-                        batch["questionLengths"], batch["images"])
+                        batch["questionLengths"], batch["images"], **kb_kw)
         labels = batch["answers"]
         losses = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
         mask = batch.get("mask")

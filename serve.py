@@ -151,18 +151,18 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
             FusedMACEngine, supports_fused_config)
         if supports_fused_config(cfg):
             engine = FusedMACEngine(cfg, emb_init)
-            # kbl is always None here: supports_fused_config gates the
-            # fused engines away from GQA (per-example KB masks)
+            # kbl (GQA per-example valid-object counts) masks the read
+            # attention inside the kernel, matching the XLA path
             if get_att:
                 def _fused_predict(p, q, l, im, kbl=None):
                     logits, atts = engine({"params": p}, q, l, im,
-                                          get_att=True)
+                                          get_att=True, kb_lengths=kbl)
                     return jnp.argmax(logits, -1).astype(jnp.int32), atts
                 predict = jax.jit(_fused_predict)
             else:
                 predict = jax.jit(lambda p, q, l, im, kbl=None: (jnp.argmax(
-                    engine({"params": p}, q, l, im), -1).astype(jnp.int32),
-                    {}))
+                    engine({"params": p}, q, l, im, kb_lengths=kbl),
+                    -1).astype(jnp.int32), {}))
         else:
             print("serve: config outside fused envelope; XLA path",
                   file=sys.stderr)

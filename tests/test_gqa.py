@@ -203,6 +203,23 @@ def test_gqa_serve_roundtrip(gqa_root, tmp_path):
     assert all("prediction" in a and isinstance(a["prediction"], str)
                for a in answers)
 
+    # the fused engine now serves GQA too (per-example KB masks run
+    # in-kernel); its predictions must match the XLA path's
+    cfg3 = gqa_cfg(gqa_root, expName="gqasrv", train=False, restore=True,
+                   batchSize=8, getPreds=False, evalTrain=False,
+                   usePallas=True,
+                   weightsPath=str(tmp_path / "w"),
+                   predsPath=str(tmp_path / "p"),
+                   logPath=str(tmp_path / "r"),
+                   configPath=str(tmp_path / "r"))
+    outp2 = tmp_path / "ans_fused.json"
+    stats2 = serve.serve(cfg3, str(inp), str(outp2), tier="val")
+    assert stats2["count"] == 2
+    with open(outp2) as f:
+        fused_answers = json.load(f)
+    assert [a["prediction"] for a in fused_answers] == \
+        [a["prediction"] for a in answers]
+
 
 def test_gqa_spatial_mode(gqa_root, tmp_path):
     """--gqaFeatures spatial: CLEVR-like CHW grid features with the

@@ -304,3 +304,114 @@ def test_fused_engine_with_fused_encoder():
     got = engine(variables, qs, lens, imgs, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=2e-4, atol=2e-4)
+
+
+# --------------------------------------------------- GQA per-example KB masks
+
+def make_model_gqa(cfg, n_obj):
+    """make_model over a [1, N, D] object-features grid with per-example
+    valid-object counts (GQA objects mode)."""
+    N, D = cfg.imageDims[1], cfg.imageDims[2]
+    rng = np.random.RandomState(0)
+    emb = {"q": rng.randn(VOCAB - 1, cfg.wrdEmbDim).astype(np.float32),
+           "a": None}
+    model = MACNetwork(cfg, emb)
+    qs = jnp.asarray(rng.randint(1, VOCAB, (B, L)), jnp.int32)
+    lens = jnp.asarray(rng.randint(3, L + 1, (B,)), jnp.int32)
+    imgs = jnp.asarray(rng.randn(B, 1, N, D), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        qs, lens, imgs, train=False, kb_lengths=n_obj)
+    return model, emb, variables, qs, lens, imgs
+
+
+def gqa_fused_cfg(**overrides):
+    # GQA objects mode: [1, N, D] grid, pointwise stem (config_gqa)
+    return fused_cfg(dataset="GQA", imageDims=[1, 10, 24],
+                     stemNumLayers=1, stemKernelSize=1, **overrides)
+
+
+@pytest.mark.parametrize("gate", [False, True])
+def test_fused_matches_xla_gqa_kb_lengths(gate):
+    """Per-example KB masks (GQA kb_lengths) inside the fused kernel match
+    the XLA path's masked_softmax (models/mac_cell.py ReadUnit)."""
+    cfg = gqa_fused_cfg(writeGate=gate)
+    assert supports_fused_config(cfg)
+    n_obj = jnp.asarray([3, 7, 10, 5, 1, 9, 4, 10], jnp.int32)
+    model, emb, variables, qs, lens, imgs = make_model_gqa(cfg, n_obj)
+    expected, _ = model.apply(variables, qs, lens, imgs, train=False,
+                              kb_lengths=n_obj)
+    engine = FusedMACEngine(cfg, emb, batch_tile=4)
+    got = engine(variables, qs, lens, imgs, interpret=True,
+                 kb_lengths=n_obj)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_gqa_padded_slot_invariance():
+    """Garbage in the padded object slots must not change the fused
+    engine's logits — the in-kernel mask zeroes them out of the read
+    attention (mirrors test_gqa.py's XLA-path invariance test)."""
+    cfg = gqa_fused_cfg()
+    N = cfg.imageDims[1]
+    n_obj = jnp.asarray([3, 7, N, 5, 1, 9, 4, N], jnp.int32)
+    model, emb, variables, qs, lens, imgs = make_model_gqa(cfg, n_obj)
+    engine = FusedMACEngine(cfg, emb, batch_tile=4)
+    got1 = engine(variables, qs, lens, imgs, interpret=True,
+                  kb_lengths=n_obj)
+    garbage = np.asarray(imgs).copy()
+    rng = np.random.RandomState(3)
+    for b in range(B):
+        k = int(n_obj[b])
+        if k < N:
+            garbage[b, :, k:] = 100.0 * rng.randn(1, N - k,
+                                                  cfg.imageDims[2])
+    got2 = engine(variables, qs, lens, jnp.asarray(garbage),
+                  interpret=True, kb_lengths=n_obj)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(got2),
+                               rtol=2e-4, atol=2e-4)
+    # and without the mask the garbage DOES change the logits
+    got3 = engine(variables, qs, lens, jnp.asarray(garbage),
+                  interpret=True)
+    assert np.abs(np.asarray(got3) - np.asarray(got1)).max() > 1e-3
+
+
+def test_fused_gqa_attention_outputs():
+    """getAtt through the fused engine on a GQA config: the recomputed KB
+    attentions match the XLA path's and are exactly zero on padded
+    slots."""
+    cfg = gqa_fused_cfg()
+    N = cfg.imageDims[1]
+    n_obj = jnp.asarray([3, 7, N, 5, 1, 9, 4, N], jnp.int32)
+    model, emb, variables, qs, lens, imgs = make_model_gqa(cfg, n_obj)
+    expected, atts_ref = model.apply(variables, qs, lens, imgs,
+                                     train=False, kb_lengths=n_obj)
+    engine = FusedMACEngine(cfg, emb, batch_tile=4)
+    got, atts = engine(variables, qs, lens, imgs, interpret=True,
+                       get_att=True, kb_lengths=n_obj)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-4, atol=2e-4)
+    kb = np.asarray(atts["kb"])
+    np.testing.assert_allclose(kb, np.asarray(atts_ref["kb"]),
+                               rtol=2e-4, atol=2e-4)
+    for b in range(B):
+        k = int(n_obj[b])
+        if k < N:
+            assert np.abs(kb[:, b, k:]).max() == 0.0
+
+
+def test_fused_matches_xla_gqa_feedprev():
+    """kb_lengths through the feedprev (args1-style) kernel body too."""
+    cfg = gqa_fused_cfg(controlFeedPrev=True, controlFeedPrevAtt=True,
+                        controlFeedInputs=True, controlContAct="TANH",
+                        initCtrl="PRM", controlInputUnshared=False)
+    assert supports_fused_config(cfg)
+    n_obj = jnp.asarray([3, 7, 10, 5, 1, 9, 4, 10], jnp.int32)
+    model, emb, variables, qs, lens, imgs = make_model_gqa(cfg, n_obj)
+    expected, _ = model.apply(variables, qs, lens, imgs, train=False,
+                              kb_lengths=n_obj)
+    engine = FusedMACEngine(cfg, emb, batch_tile=4)
+    got = engine(variables, qs, lens, imgs, interpret=True,
+                 kb_lengths=n_obj)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-4, atol=2e-4)
