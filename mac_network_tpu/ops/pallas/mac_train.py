@@ -71,9 +71,6 @@ def supports_fused_train(cfg: Config) -> bool:
     mode)."""
     return (
         supports_fused_config(cfg)
-        and cfg.dataset != "GQA"   # per-example KB masks (kb_lengths) are
-                                   # implemented in the serving kernels
-                                   # only, not the training pair
         and not cfg.controlFeedPrev
         and not cfg.writeSelfAtt
         and not (cfg.writeGate and cfg.writeGateShared)
@@ -246,11 +243,12 @@ def _act_grad(pre, out, relu_kind, dtype):
 
 
 def _build_train_fwd_kernel(T, relu_kind, S_real, use_gate, read_keep,
-                            kb_fresh):
+                            kb_fresh, with_kb_mask=False):
     def kernel(*refs):
         it = iter(refs)
         seed_ref = next(it)                    # SMEM [1]
         kb_ref = next(it)
+        kmask_ref = next(it) if with_kb_mask else None   # [Bt, Sp] f32
         if kb_fresh:
             kbp_ref = kbw1_ref = None
         else:
@@ -293,9 +291,13 @@ def _build_train_fwd_kernel(T, relu_kind, S_real, use_gate, read_keep,
             idx2 = _flat_idx((Bt, d), row0 * jnp.int32(d))
         else:
             idx3 = idx2 = None
-        pad_mask = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, (1, Sp, 1), 1) < S_real,
-            0.0, NEG_INF).astype(jnp.float32)
+        if with_kb_mask:
+            # per-example valid-slot mask (GQA kb_lengths), S_real folded
+            pad_mask = kmask_ref[...][:, :, None]        # [Bt, Sp, 1] f32
+        else:
+            pad_mask = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (1, Sp, 1), 1) < S_real,
+                0.0, NEG_INF).astype(jnp.float32)
 
         def step(t, memory):
             hist_ref[pl.ds(t, 1)] = memory[None]
@@ -319,11 +321,12 @@ def _build_train_fwd_kernel(T, relu_kind, S_real, use_gate, read_keep,
 
 
 def _build_train_bwd_kernel(T, relu_kind, S_real, use_gate, read_keep,
-                            kb_fresh):
+                            kb_fresh, with_kb_mask=False):
     def kernel(*refs):
         it = iter(refs)
         seed_ref = next(it)
         kb_ref = next(it)
+        kmask_ref = next(it) if with_kb_mask else None   # [Bt, Sp] f32
         if kb_fresh:
             kbp_ref = kbw1_ref = None
         else:
@@ -377,9 +380,15 @@ def _build_train_bwd_kernel(T, relu_kind, S_real, use_gate, read_keep,
         br = br_ref[0, 0]
         w3, b3 = w3_ref[...], b3_ref[...]
         i = pl.program_id(0)
-        pad_mask = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, (1, Sp, 1), 1) < S_real,
-            0.0, NEG_INF).astype(jnp.float32)
+        if with_kb_mask:
+            # masked slots have zero attention, so every per-slot gradient
+            # in the recomputed chain (g_e -> g_h -> g_kbp/g_kb) is zero
+            # there automatically — replacing pad_mask is sufficient
+            pad_mask = kmask_ref[...][:, :, None]        # [Bt, Sp, 1] f32
+        else:
+            pad_mask = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (1, Sp, 1), 1) < S_real,
+                0.0, NEG_INF).astype(jnp.float32)
 
         # weight-grad accumulators are shared across grid cells
         # ("arbitrary" semantics keeps the (0,..) blocks resident):
@@ -673,8 +682,16 @@ def _prep_weights(weights, dtype, d, kb_fresh=False):
     return w, br
 
 
+def _kb_len_mask(kb_lengths, S_real, Sp):
+    """[B, Sp] additive f32 mask from per-example valid-slot counts,
+    folding the static Sp/S_real padding (GQA kb_lengths)."""
+    lim = jnp.minimum(kb_lengths.astype(jnp.int32), S_real)
+    return jnp.where(jnp.arange(Sp)[None, :] < lim[:, None],
+                     0.0, NEG_INF).astype(jnp.float32)
+
+
 def _fwd_impl(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
-              mem_mask, seed):
+              mem_mask, seed, kb_lengths=None):
     (T, S_real, relu, use_gate, read_keep, kb_fresh, batch_tile,
      _) = statics
     B, S, d, Bt, Sp, interpret = _layout(statics, kb)
@@ -682,11 +699,15 @@ def _fwd_impl(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
     kb_p = _pad_s(kb, Sp)
     w, br = _prep_weights(weights, dtype, d, kb_fresh)
     tile, step_tile, full, smem = _specs(T, Bt, Sp, d)
+    with_kb_mask = kb_lengths is not None
     kernel = _build_train_fwd_kernel(T, relu, S_real, use_gate, read_keep,
-                                     kb_fresh)
+                                     kb_fresh, with_kb_mask=with_kb_mask)
 
     in_specs = [smem(), tile(Bt, Sp, d)]
     inputs = [seed.reshape(1).astype(jnp.int32), kb_p]
+    if with_kb_mask:
+        in_specs.append(tile(Bt, Sp))
+        inputs.append(_kb_len_mask(kb_lengths, S_real, Sp))
     if not kb_fresh:
         in_specs += [tile(Bt, Sp, d), tile(Bt, Sp, d)]
         inputs += [_pad_s(kbp, Sp), _pad_s(kbw1, Sp)]
@@ -730,7 +751,7 @@ def _fwd_impl(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
 
 
 def _bwd_impl(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
-              mem_mask, seed, hist, g_final):
+              mem_mask, seed, hist, g_final, kb_lengths=None):
     (T, S_real, relu, use_gate, read_keep, kb_fresh, batch_tile,
      _) = statics
     B, S, d, Bt, Sp, interpret = _layout(statics, kb, bwd=True)
@@ -738,11 +759,15 @@ def _bwd_impl(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
     kb_p = _pad_s(kb, Sp)
     w, br = _prep_weights(weights, dtype, d, kb_fresh)
     tile, step_tile, full, smem = _specs(T, Bt, Sp, d)
+    with_kb_mask = kb_lengths is not None
     kernel = _build_train_bwd_kernel(T, relu, S_real, use_gate, read_keep,
-                                     kb_fresh)
+                                     kb_fresh, with_kb_mask=with_kb_mask)
 
     in_specs = [smem(), tile(Bt, Sp, d)]
     inputs = [seed.reshape(1).astype(jnp.int32), kb_p]
+    if with_kb_mask:
+        in_specs.append(tile(Bt, Sp))
+        inputs.append(_kb_len_mask(kb_lengths, S_real, Sp))
     if not kb_fresh:
         in_specs += [tile(Bt, Sp, d), tile(Bt, Sp, d)]
         inputs += [_pad_s(kbp, Sp), _pad_s(kbw1, Sp)]
@@ -856,7 +881,7 @@ def _bwd_impl(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def mac_train_recurrence(statics, weights, kb, kbp, kbw1, controls, gates,
-                         mem0, mem_mask, seed):
+                         mem0, mem_mask, seed, kb_lengths=None):
     """Differentiable fused MAC memory chain.
 
     statics: (T, S_real, relu, use_gate, read_keep, kb_fresh, batch_tile,
@@ -866,30 +891,36 @@ def mac_train_recurrence(statics, weights, kb, kbp, kbw1, controls, gates,
     kb_fresh mode — the kernel projects per step from a fresh per-step
     KB dropout mask); controls/gates [T, B, d]; mem0 / mem_mask [B, d];
     seed int32 scalar array (RNG stream for the in-kernel dropout
-    masks).  Returns the final memory [B, d].
+    masks); kb_lengths optional [B] int32 per-example valid KB-slot
+    counts (GQA) — masked slots get zero read attention (fwd) and zero
+    per-slot gradients (bwd, automatic: every per-slot cotangent in the
+    recomputed chain is a multiple of the masked attention).
+    Returns the final memory [B, d].
     """
     final, _ = _fwd_impl(statics, weights, kb, kbp, kbw1, controls, gates,
-                         mem0, mem_mask, seed)
+                         mem0, mem_mask, seed, kb_lengths)
     return final
 
 
 def _vjp_fwd(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
-             mem_mask, seed):
+             mem_mask, seed, kb_lengths=None):
     final, hist = _fwd_impl(statics, weights, kb, kbp, kbw1, controls,
-                            gates, mem0, mem_mask, seed)
+                            gates, mem0, mem_mask, seed, kb_lengths)
     return final, (weights, kb, kbp, kbw1, controls, gates, mem0,
-                   mem_mask, seed, hist)
+                   mem_mask, seed, hist, kb_lengths)
 
 
 def _vjp_bwd(statics, res, g_final):
     (weights, kb, kbp, kbw1, controls, gates, mem0, mem_mask, seed,
-     hist) = res
+     hist, kb_lengths) = res
     (g_weights, g_kb, g_kbp, g_kbw1, g_controls, g_gates, g_mem0,
      g_mask) = _bwd_impl(statics, weights, kb, kbp, kbw1, controls, gates,
-                         mem0, mem_mask, seed, hist, g_final)
+                         mem0, mem_mask, seed, hist, g_final, kb_lengths)
     g_seed = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
+    g_kbl = (None if kb_lengths is None else
+             np.zeros(np.shape(kb_lengths), dtype=jax.dtypes.float0))
     return (g_weights, g_kb, g_kbp, g_kbw1, g_controls, g_gates, g_mem0,
-            g_mask, g_seed)
+            g_mask, g_seed, g_kbl)
 
 
 mac_train_recurrence.defvjp(_vjp_fwd, _vjp_bwd)
@@ -931,7 +962,8 @@ class FusedTrainEngine:
         self.classifier = Classifier(cfg)
 
     def apply(self, variables, question_ids, lengths, images,
-              train: bool = True, rngs=None, interpret=None):
+              train: bool = True, rngs=None, interpret=None,
+              kb_lengths=None):
         from mac_network_tpu.ops.pallas.mac_fused import (
             extract_mac_weights, _apply_linear)
         from mac_network_tpu.ops.dropout import generate_var_dp_mask
@@ -1041,7 +1073,7 @@ class FusedTrainEngine:
                                   dtype=jnp.int32)
         final_memory = mac_train_recurrence(
             statics, kernel_weights, kb, kbp, kbw1, controls, gates,
-            mem0, m_mask.astype(dtype), seed)
+            mem0, m_mask.astype(dtype), seed, kb_lengths)
 
         features = self.output.apply(
             {"params": params["output"]}, final_memory, vec_q, images,

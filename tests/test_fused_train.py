@@ -300,3 +300,115 @@ def test_fused_train_under_dp_mesh():
 
     assert jax.device_count() >= 8
     np.testing.assert_allclose(run(False), run(True), rtol=2e-5)
+
+
+# ------------------------------------------- GQA per-example KB masks
+
+def gqa_det_cfg(**overrides):
+    return det_cfg(dataset="GQA", imageDims=[1, 10, 24],
+                   stemNumLayers=1, stemKernelSize=1, **overrides)
+
+
+def make_model_gqa_batch(cfg, batch, n_obj):
+    N, D = cfg.imageDims[1], cfg.imageDims[2]
+    rng = np.random.RandomState(0)
+    from tests.test_pallas import VOCAB, L
+    emb = {"q": rng.randn(VOCAB - 1, cfg.wrdEmbDim).astype(np.float32),
+           "a": None}
+    from mac_network_tpu.models import MACNetwork
+    model = MACNetwork(cfg, emb)
+    qs = jnp.asarray(rng.randint(1, VOCAB, (batch, L)), jnp.int32)
+    lens = jnp.asarray(rng.randint(3, L + 1, (batch,)), jnp.int32)
+    imgs = jnp.asarray(rng.randn(batch, 1, N, D), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        qs, lens, imgs, train=False, kb_lengths=n_obj)
+    return model, emb, variables, qs, lens, imgs
+
+
+@pytest.mark.parametrize("fresh", [False, True])
+def test_fused_train_gqa_grads_match_xla(fresh):
+    """kb_lengths through the fused train pair (fwd read-softmax mask +
+    bwd recompute): every gradient equals the XLA path, in both the
+    hoisted and the fresh-KB (in-kernel projections) modes."""
+    cfg = gqa_det_cfg()
+    assert supports_fused_train(cfg)
+    n_obj = jnp.asarray([3, 7, 10, 5, 1, 9, 4, 10], jnp.int32)
+    model, emb, variables, qs, lens, imgs = make_model_gqa_batch(
+        cfg, 8, n_obj)
+    engine = FusedTrainEngine(cfg, emb, batch_tile=8, force_fresh_kb=fresh)
+
+    def loss(apply_fn):
+        def f(p):
+            lg, _ = apply_fn({"params": p}, qs, lens, imgs, train=True,
+                             rngs={"dropout": jax.random.key(3)},
+                             kb_lengths=n_obj)
+            return jnp.mean(lg ** 2)
+        return f
+
+    g_xla = jax.grad(loss(model.apply))(variables["params"])
+    g_fused = jax.grad(loss(engine.apply))(variables["params"])
+    assert_grads_close(g_xla, g_fused)
+
+
+def test_fused_train_gqa_padded_slot_grad_invariance():
+    """Garbage in padded object slots must change NEITHER the loss NOR any
+    gradient: masked slots get zero read attention in the forward and the
+    backward's recomputed chain zeroes every per-slot cotangent there."""
+    cfg = gqa_det_cfg()
+    N = cfg.imageDims[1]
+    n_obj = jnp.asarray([3, 7, N, 5, 1, 9, 4, N], jnp.int32)
+    model, emb, variables, qs, lens, imgs = make_model_gqa_batch(
+        cfg, 8, n_obj)
+    engine = FusedTrainEngine(cfg, emb, batch_tile=8)
+
+    def val_and_grad(images):
+        def f(p):
+            lg, _ = engine.apply({"params": p}, qs, lens, images,
+                                 train=True,
+                                 rngs={"dropout": jax.random.key(3)},
+                                 kb_lengths=n_obj)
+            return jnp.mean(lg ** 2)
+        return jax.value_and_grad(f)(variables["params"])
+
+    v1, g1 = val_and_grad(imgs)
+    garbage = np.asarray(imgs).copy()
+    rng = np.random.RandomState(9)
+    for b in range(8):
+        k = int(n_obj[b])
+        if k < N:
+            garbage[b, :, k:] = 100.0 * rng.randn(1, N - k,
+                                                  cfg.imageDims[2])
+    v2, g2 = val_and_grad(jnp.asarray(garbage))
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat2 = {jax.tree_util.keystr(p): v
+             for p, v in jax.tree_util.tree_leaves_with_path(g2)}
+    for path, v in flat1:
+        k = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat2[k]), rtol=1e-5, atol=1e-6,
+            err_msg=f"padded-slot-dependent grad at {k}")
+
+
+def test_fused_train_gqa_multi_tile():
+    """kb_lengths with B=16 / Bt=8 (two grid cells): the per-tile mask
+    rows must follow their batch tiles."""
+    cfg = gqa_det_cfg()
+    n_obj = jnp.asarray([3, 7, 10, 5, 1, 9, 4, 10,
+                         2, 10, 6, 8, 1, 3, 10, 5], jnp.int32)
+    model, emb, variables, qs, lens, imgs = make_model_gqa_batch(
+        cfg, 16, n_obj)
+    engine = FusedTrainEngine(cfg, emb, batch_tile=8)
+
+    def loss(apply_fn):
+        def f(p):
+            lg, _ = apply_fn({"params": p}, qs, lens, imgs, train=True,
+                             rngs={"dropout": jax.random.key(3)},
+                             kb_lengths=n_obj)
+            return jnp.mean(lg ** 2)
+        return f
+
+    g_xla = jax.grad(loss(model.apply))(variables["params"])
+    g_fused = jax.grad(loss(engine.apply))(variables["params"])
+    assert_grads_close(g_xla, g_fused)
