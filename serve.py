@@ -112,14 +112,37 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
     state = restore_checkpoint(cfg, state, epoch)
     params = state.eval_params(cfg.useEMA)
 
-    # guards main.py has (main.py:40-44): serving is single-device — pad+mask
-    # makes any batchSize work, but be explicit about the device assumption
+    # guards main.py has (main.py:40-44); pad+mask makes any batchSize work
     if cfg.batchSize < 1:
         raise SystemExit(f"--batchSize {cfg.batchSize} must be >= 1")
-    if len(jax.devices()) > 1:
+
+    # multi-chip serving: --meshData N (and/or --meshModel M) shards the
+    # batch over the data axis of a device mesh — GSPMD inserts the ICI
+    # collectives; params are replicated/vocab-sharded by shard_params.
+    # Opt-in (default stays single-device) because the fused Pallas
+    # engine's custom call does not partition: mesh serving is XLA-only.
+    mesh = None
+    if cfg.meshData > 1 or cfg.meshModel > 1:
+        from mac_network_tpu.parallel import make_mesh, shard_params
+        mesh = make_mesh(cfg)
+        n_data = mesh.shape["data"]
+        if B % n_data:
+            raise SystemExit(
+                f"--batchSize {B} must be a multiple of the data mesh "
+                f"axis ({n_data})")
+        params = shard_params(params, mesh)
+        if cfg.usePallas or cfg.servingEngine == "pallas":
+            print("serve: mesh serving uses the XLA path (the fused "
+                  "kernel's custom call does not partition over a mesh)",
+                  file=sys.stderr)
+        cfg.usePallas = False
+        cfg.servingEngine = "xla"
+        print(f"serve: mesh serving over {dict(mesh.shape)}",
+              file=sys.stderr)
+    elif len(jax.devices()) > 1:
         print(f"serve: single-device serving on {jax.devices()[0]} "
-              f"({len(jax.devices())} devices visible; use main.py for "
-              f"multi-chip)", file=sys.stderr)
+              f"({len(jax.devices())} devices visible; pass --meshData N "
+              f"to shard the batch over a mesh)", file=sys.stderr)
 
     # engine selection: "auto" picks the fused engine in its MEASURED
     # winning regime — small batches on a real TPU, where the step is
@@ -203,9 +226,14 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
                 if n_obj is not None:
                     n_obj = np.concatenate(
                         [n_obj, np.repeat(n_obj[-1:], pad, 0)])
-            out, atts = predict(params, jnp.asarray(q), jnp.asarray(l),
-                                jnp.asarray(img),
-                                None if n_obj is None else jnp.asarray(n_obj))
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                bs = NamedSharding(mesh, PartitionSpec("data"))
+                place = lambda x: jax.device_put(np.asarray(x), bs)
+            else:
+                place = jnp.asarray
+            out, atts = predict(params, place(q), place(l), place(img),
+                                None if n_obj is None else place(n_obj))
             out = np.asarray(out)
             preds_all.extend(out[:len(chunk)].tolist())
             if get_att:

@@ -94,3 +94,49 @@ def test_serve_roundtrip(tmp_path):
     with open(outp3) as f:
         answers = json.load(f)
     assert all("attentions" in a for a in answers)
+
+
+def test_serve_mesh_sharded(tmp_path):
+    """--meshData shards serving over the device mesh (GSPMD): predictions
+    must be identical to the single-device run, and a batchSize that does
+    not divide the mesh axis is rejected loudly."""
+    import jax
+    import serve
+    from main import main
+    from mac_network_tpu.data.synthetic import write_synthetic_dataset
+    from tests.test_train_e2e import make_cfg
+
+    assert jax.device_count() >= 8
+    write_synthetic_dataset(str(tmp_path), n_train=32, n_val=16, n_test=16,
+                            dims=(16, 5, 5))
+    cfg = make_cfg(tmp_path, expName="srvmesh", epochs=1, getPreds=False,
+                   evalTrain=False, batchSize=8)
+    main(cfg)
+
+    # val features hold n_val // 2 = 8 images (synthetic.py)
+    requests = [{"question": "What color is the large cube?",
+                 "imageId": i % 8} for i in range(10)]
+    inp = tmp_path / "req.json"
+    with open(inp, "w") as f:
+        json.dump(requests, f)
+
+    def run(name, **over):
+        cfg2 = make_cfg(tmp_path, expName="srvmesh", train=False,
+                        restore=True, batchSize=8, getPreds=False,
+                        evalTrain=False, **over)
+        outp = tmp_path / f"{name}.json"
+        serve.serve(cfg2, str(inp), str(outp), tier="val")
+        with open(outp) as f:
+            return [a["prediction"] for a in json.load(f)]
+
+    single = run("single")
+    sharded = run("mesh", meshData=8)
+    assert sharded == single
+
+    import pytest as _pytest
+    cfg_bad = make_cfg(tmp_path, expName="srvmesh", train=False,
+                       restore=True, batchSize=6, getPreds=False,
+                       evalTrain=False, meshData=8)
+    with _pytest.raises(SystemExit, match="multiple of the data mesh"):
+        serve.serve(cfg_bad, str(inp), str(tmp_path / "bad.json"),
+                    tier="val")
