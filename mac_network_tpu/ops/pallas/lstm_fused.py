@@ -101,11 +101,26 @@ def _build_kernel(L: int):
 
 def fused_bilstm(cfg: Config, rnn_params: Dict[str, Any], words, lengths,
                  batch_tile: Optional[int] = None,
-                 interpret: Optional[bool] = None
+                 interpret: Optional[bool] = None,
+                 mesh=None, data_axis: str = "data"
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the bi-LSTM encoder layer.  words: [B, L, D] (compute dtype);
     lengths: [B] int.  Returns (cntx [B, L, 2h], vec [B, 2h]) exactly as
-    ops/rnn.RNNLayer would (fw/bw concat; reference ops.py:859-911)."""
+    ops/rnn.RNNLayer would (fw/bw concat; reference ops.py:859-911).
+    ``mesh`` partitions the kernel over its ``data_axis`` with shard_map
+    (each device runs its batch shard; no collectives)."""
+    if mesh is not None and mesh.shape.get(data_axis, 1) > 1:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        n = mesh.shape[data_axis]
+        assert words.shape[0] % n == 0, (words.shape, n)
+        return shard_map(
+            lambda p, w, l: fused_bilstm(cfg, p, w, l,
+                                         batch_tile=batch_tile,
+                                         interpret=interpret),
+            mesh=mesh, in_specs=(P(), P(data_axis), P(data_axis)),
+            out_specs=(P(data_axis), P(data_axis)),
+            check_vma=False)(rnn_params, words, lengths)
     B, L, D = words.shape
     dtype = words.dtype
     h = cfg.encDim // 2

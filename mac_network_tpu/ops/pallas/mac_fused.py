@@ -385,7 +385,8 @@ def fused_mac_steps(cfg: Config, weights: Dict[str, jnp.ndarray],
                     s_real: Optional[int] = None,
                     batch_tile: int = 8,
                     interpret: Optional[bool] = None,
-                    with_memories: bool = False):
+                    with_memories: bool = False,
+                    mesh=None, data_axis: str = "data"):
     """Run the full netLength recurrence as one Pallas kernel.
 
     kb: [B, S, d] (S may be unpadded; padded here); mem0: [B, d].  The
@@ -403,7 +404,41 @@ def fused_mac_steps(cfg: Config, weights: Dict[str, jnp.ndarray],
     masked_softmax.  Returns final memory [B, d] — or
     (final memory, per-step memory history [T, B, d]) when
     ``with_memories`` (non-feedPrev only; the debug-outputs path).
+
+    ``mesh``: a jax.sharding.Mesh partitions the kernel over its
+    ``data_axis`` with shard_map — each device runs the pallas_call on
+    its batch shard and NO collectives touch the KB-sized operands
+    (XLA's default handling of an opaque custom call is to all-gather
+    its inputs; shard_map replaces that with true data parallelism —
+    the working completion of the reference's towers, model.py:776-824).
+    B must divide by the mesh's data-axis size.
     """
+    if mesh is not None and mesh.shape.get(data_axis, 1) > 1:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        n = mesh.shape[data_axis]
+        assert kb.shape[0] % n == 0, (
+            f"batch {kb.shape[0]} must divide the '{data_axis}' mesh axis "
+            f"({n})")
+        S_real_g = s_real if s_real is not None else kb.shape[1]
+
+        def inner(weights, kb, mem0, controls, gates, satt, words, wmask,
+                  ci_proj, ctrl0, kb_lengths):
+            return fused_mac_steps(
+                cfg, weights, kb, mem0, controls=controls, gates=gates,
+                satt=satt, words=words, wmask=wmask, ci_proj=ci_proj,
+                ctrl0=ctrl0, kb_lengths=kb_lengths, s_real=S_real_g,
+                batch_tile=batch_tile, interpret=interpret,
+                with_memories=with_memories)
+
+        bspec = lambda axis: P(*([None] * axis + [data_axis]))
+        in_specs = (P(), bspec(0), bspec(0), bspec(1), bspec(1), bspec(2),
+                    bspec(0), bspec(0), bspec(1), bspec(0), bspec(0))
+        out_specs = ((bspec(0), bspec(1)) if with_memories else bspec(0))
+        return shard_map(
+            inner, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False)(weights, kb, mem0, controls, gates, satt,
+                             words, wmask, ci_proj, ctrl0, kb_lengths)
     if with_memories and cfg.controlFeedPrev:
         raise NotImplementedError(
             "memory-history output is not supported for the feedprev "
@@ -676,7 +711,8 @@ class FusedMACEngine:
     ``MACNetwork.apply(train=False)`` for supported configs.
     """
 
-    def __init__(self, cfg: Config, embedding_init, batch_tile: int = 16):
+    def __init__(self, cfg: Config, embedding_init, batch_tile: int = 16,
+                 mesh=None, data_axis: str = "data"):
         from mac_network_tpu.models.mac_network import (
             QuestionEncoder, Stem, OutputUnit, Classifier)
         from mac_network_tpu.ops.pallas.lstm_fused import (
@@ -685,6 +721,10 @@ class FusedMACEngine:
             "config outside the fused-kernel envelope; use the XLA path"
         self.cfg = cfg
         self.batch_tile = batch_tile
+        # a Mesh partitions the pallas calls over its data axis via
+        # shard_map (the XLA glue partitions via GSPMD as usual)
+        self.mesh = mesh
+        self.data_axis = data_axis
         self.embedding_init = embedding_init
         self.encoder = QuestionEncoder(cfg, embedding_init)
         # the bi-LSTM runs as a fused Pallas kernel when the layer shape
@@ -719,7 +759,8 @@ class FusedMACEngine:
         elif cfg.ansEmbMod == "BOTH":
             a_emb = enc["aEmb"].astype(dtype)
         cntx, vec = fused_bilstm(cfg, enc["rnn0"], words, lengths,
-                                 interpret=interpret)
+                                 interpret=interpret, mesh=self.mesh,
+                                 data_axis=self.data_axis)
         if (cfg.encDim != cfg.ctrlDim) or cfg.encProj:
             cntx = _apply_linear(cntx, enc["projCW"])
             vec = _apply_linear(vec, enc["projQ"])
@@ -898,7 +939,8 @@ class FusedMACEngine:
             final_memory, mem_hist = fused_mac_steps(
                 cfg, weights, kb, mem0, batch_tile=self.batch_tile,
                 interpret=interpret, with_memories=True,
-                kb_lengths=kb_lengths, **kwargs)
+                kb_lengths=kb_lengths, mesh=self.mesh,
+                data_axis=self.data_axis, **kwargs)
             atts["kb"] = self._kb_attentions(
                 weights, kb, mem0, mem_hist, controls,
                 kb_lengths=kb_lengths)
@@ -906,7 +948,8 @@ class FusedMACEngine:
             final_memory = fused_mac_steps(
                 cfg, weights, kb, mem0,
                 batch_tile=self.batch_tile, interpret=interpret,
-                kb_lengths=kb_lengths, **kwargs)
+                kb_lengths=kb_lengths, mesh=self.mesh,
+                data_axis=self.data_axis, **kwargs)
 
         features = self.output.apply({"params": params["output"]},
                                      final_memory, vec_q, images, train=False)

@@ -630,6 +630,21 @@ _W_KEYS = ("wy", "by", "w1a", "w2", "b2", "wr", "br", "w3", "b3")
 _PX_KEYS = ("wpx", "bpx", "w1b", "b1")
 
 
+def _pad_b(x, Bp: int, axis: int = 0):
+    """Zero-pad a batch axis to Bp rows (callers slice outputs back).
+    Zero rows are inert: their forward chain cannot NaN (the read
+    softmax's epsilon) and their cotangents are zero, so weight-grad
+    accumulators see no contribution from them."""
+    if x is None:
+        return None
+    B = x.shape[axis]
+    if B == Bp:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, Bp - B)
+    return jnp.pad(x, pads)
+
+
 def _layout(statics, kb, bwd: bool = False):
     (T, S_real, relu, use_gate, read_keep, kb_fresh, batch_tile,
      interpret) = statics
@@ -694,6 +709,15 @@ def _fwd_impl(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
               mem_mask, seed, kb_lengths=None):
     (T, S_real, relu, use_gate, read_keep, kb_fresh, batch_tile,
      _) = statics
+    B0 = kb.shape[0]
+    if B0 % 8:                                  # ragged (mesh-shard) batch
+        Bp = _round_up(B0, 8)
+        final, hist = _fwd_impl(
+            statics, weights, _pad_b(kb, Bp), _pad_b(kbp, Bp),
+            _pad_b(kbw1, Bp), _pad_b(controls, Bp, 1),
+            _pad_b(gates, Bp, 1), _pad_b(mem0, Bp), _pad_b(mem_mask, Bp),
+            seed, _pad_b(kb_lengths, Bp))
+        return final[:B0], hist[:, :B0]
     B, S, d, Bt, Sp, interpret = _layout(statics, kb)
     dtype = kb.dtype
     kb_p = _pad_s(kb, Sp)
@@ -754,6 +778,22 @@ def _bwd_impl(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
               mem_mask, seed, hist, g_final, kb_lengths=None):
     (T, S_real, relu, use_gate, read_keep, kb_fresh, batch_tile,
      _) = statics
+    B0 = kb.shape[0]
+    if B0 % 8:                                  # ragged (mesh-shard) batch
+        Bp = _round_up(B0, 8)
+        out = _bwd_impl(
+            statics, weights, _pad_b(kb, Bp), _pad_b(kbp, Bp),
+            _pad_b(kbw1, Bp), _pad_b(controls, Bp, 1),
+            _pad_b(gates, Bp, 1), _pad_b(mem0, Bp), _pad_b(mem_mask, Bp),
+            seed, _pad_b(hist, Bp, 1), _pad_b(g_final, Bp),
+            _pad_b(kb_lengths, Bp))
+        (g_weights, g_kb, g_kbp, g_kbw1, g_controls, g_gates, g_mem0,
+         g_mask) = out
+        slc = lambda x, ax=0: None if x is None else (
+            x[:B0] if ax == 0 else x[:, :B0])
+        return (g_weights, slc(g_kb), slc(g_kbp), slc(g_kbw1),
+                slc(g_controls, 1), slc(g_gates, 1), slc(g_mem0),
+                slc(g_mask))
     B, S, d, Bt, Sp, interpret = _layout(statics, kb, bwd=True)
     dtype = kb.dtype
     kb_p = _pad_s(kb, Sp)
@@ -926,6 +966,111 @@ def _vjp_bwd(statics, res, g_final):
 mac_train_recurrence.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+# ------------------------------------------------------- mesh-sharded variant
+
+def _rec_in_specs(data_axis):
+    """shard_map in_specs for (weights, kb, kbp, kbw1, controls, gates,
+    mem0, mem_mask, seed, kb_lengths)."""
+    from jax.sharding import PartitionSpec as P
+    b0 = P(data_axis)
+    b1 = P(None, data_axis)
+    return (P(), b0, b0, b0, b1, b1, b0, b0, P(), b0)
+
+
+def _local_seed(seed, data_axis):
+    """Per-shard RNG stream: folding the data-axis index into the seed
+    decorrelates the in-kernel dropout masks across shards (the kernels'
+    flat-index keying restarts at 0 on every shard).  Applied identically
+    in fwd and bwd, so masks still replay exactly.  int32 wrap-around is
+    well-defined in XLA."""
+    ax = jax.lax.axis_index(data_axis).astype(jnp.int32)
+    return seed + ax * jnp.int32(1000003)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def mac_train_recurrence_mesh(statics, mesh, data_axis, weights, kb, kbp,
+                              kbw1, controls, gates, mem0, mem_mask, seed,
+                              kb_lengths=None):
+    """``mac_train_recurrence`` partitioned over a device mesh's
+    ``data_axis`` with shard_map: each device runs the fwd/bwd kernels on
+    its batch shard; the ONLY collective is one psum of the (tiny,
+    weight-shaped) gradient accumulators in the backward.  No KB-sized
+    operand is ever gathered — the custom call partitions like the rest
+    of the SPMD program (the working completion of the reference's tower
+    DP, model.py:671-679, at kernel granularity)."""
+    final, _ = _mesh_fwd_impl(statics, mesh, data_axis, weights, kb, kbp,
+                              kbw1, controls, gates, mem0, mem_mask, seed,
+                              kb_lengths)
+    return final
+
+
+def _mesh_fwd_impl(statics, mesh, data_axis, weights, kb, kbp, kbw1,
+                   controls, gates, mem0, mem_mask, seed, kb_lengths):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    n = mesh.shape[data_axis]
+    assert kb.shape[0] % n == 0, (kb.shape, n)
+
+    def inner(weights, kb, kbp, kbw1, controls, gates, mem0, mem_mask,
+              seed, kb_lengths):
+        return _fwd_impl(statics, weights, kb, kbp, kbw1, controls, gates,
+                         mem0, mem_mask, _local_seed(seed, data_axis),
+                         kb_lengths)
+
+    return shard_map(
+        inner, mesh=mesh, in_specs=_rec_in_specs(data_axis),
+        out_specs=(P(data_axis), P(None, data_axis)), check_vma=False)(
+        weights, kb, kbp, kbw1, controls, gates, mem0, mem_mask, seed,
+        kb_lengths)
+
+
+def _mesh_vjp_fwd(statics, mesh, data_axis, weights, kb, kbp, kbw1,
+                  controls, gates, mem0, mem_mask, seed, kb_lengths=None):
+    final, hist = _mesh_fwd_impl(statics, mesh, data_axis, weights, kb,
+                                 kbp, kbw1, controls, gates, mem0,
+                                 mem_mask, seed, kb_lengths)
+    return final, (weights, kb, kbp, kbw1, controls, gates, mem0,
+                   mem_mask, seed, hist, kb_lengths)
+
+
+def _mesh_vjp_bwd(statics, mesh, data_axis, res, g_final):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    (weights, kb, kbp, kbw1, controls, gates, mem0, mem_mask, seed,
+     hist, kb_lengths) = res
+
+    def inner(weights, kb, kbp, kbw1, controls, gates, mem0, mem_mask,
+              seed, hist, g_final, kb_lengths):
+        (g_weights, g_kb, g_kbp, g_kbw1, g_controls, g_gates, g_mem0,
+         g_mask) = _bwd_impl(statics, weights, kb, kbp, kbw1, controls,
+                             gates, mem0, mem_mask,
+                             _local_seed(seed, data_axis), hist, g_final,
+                             kb_lengths)
+        # the ONE collective: weight grads are partial sums per shard
+        g_weights = jax.lax.psum(g_weights, data_axis)
+        return (g_weights, g_kb, g_kbp, g_kbw1, g_controls, g_gates,
+                g_mem0, g_mask)
+
+    b0, b1 = P(data_axis), P(None, data_axis)
+    in_specs = (P(), b0, b0, b0, b1, b1, b0, b0, P(), b1, b0, b0)
+    out = shard_map(
+        inner, mesh=mesh, in_specs=in_specs,
+        out_specs=(P(), b0, b0, b0, b1, b1, b0, b0),
+        check_vma=False)(
+        weights, kb, kbp, kbw1, controls, gates, mem0, mem_mask, seed,
+        hist, g_final, kb_lengths)
+    (g_weights, g_kb, g_kbp, g_kbw1, g_controls, g_gates, g_mem0,
+     g_mask) = out
+    g_seed = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
+    g_kbl = (None if kb_lengths is None else
+             np.zeros(np.shape(kb_lengths), dtype=jax.dtypes.float0))
+    return (g_weights, g_kb, g_kbp, g_kbw1, g_controls, g_gates, g_mem0,
+            g_mask, g_seed, g_kbl)
+
+
+mac_train_recurrence_mesh.defvjp(_mesh_vjp_fwd, _mesh_vjp_bwd)
+
+
 # ------------------------------------------------------------------ engine
 
 class FusedTrainEngine:
@@ -942,13 +1087,19 @@ class FusedTrainEngine:
     """
 
     def __init__(self, cfg: Config, embedding_init, batch_tile: int = 16,
-                 force_fresh_kb: bool = False):
+                 force_fresh_kb: bool = False, mesh=None,
+                 data_axis: str = "data"):
         from mac_network_tpu.models.mac_network import (
             QuestionEncoder, Stem, OutputUnit, Classifier)
         assert supports_fused_train(cfg), \
             "config outside the fused-train envelope; use the XLA path"
         self.cfg = cfg
         self.batch_tile = batch_tile
+        # a Mesh partitions the fwd/bwd kernels over its data axis via
+        # shard_map (mac_train_recurrence_mesh); the XLA glue and the
+        # loss/optimizer stay GSPMD-partitioned
+        self.mesh = mesh
+        self.data_axis = data_axis
         # fresh-KB mode is chosen automatically from the config (fresh
         # per-step masks whenever read dropout is active and untied);
         # force_fresh_kb additionally routes the no-dropout case through
@@ -1071,9 +1222,16 @@ class FusedTrainEngine:
                 w1b=weights["w1b"], b1=weights["b1"])
         seed = jax.random.randint(k_seed, (), 0, np.int32(2 ** 31 - 1),
                                   dtype=jnp.int32)
-        final_memory = mac_train_recurrence(
-            statics, kernel_weights, kb, kbp, kbw1, controls, gates,
-            mem0, m_mask.astype(dtype), seed, kb_lengths)
+        if (self.mesh is not None
+                and self.mesh.shape.get(self.data_axis, 1) > 1):
+            final_memory = mac_train_recurrence_mesh(
+                statics, self.mesh, self.data_axis, kernel_weights, kb,
+                kbp, kbw1, controls, gates, mem0, m_mask.astype(dtype),
+                seed, kb_lengths)
+        else:
+            final_memory = mac_train_recurrence(
+                statics, kernel_weights, kb, kbp, kbw1, controls, gates,
+                mem0, m_mask.astype(dtype), seed, kb_lengths)
 
         features = self.output.apply(
             {"params": params["output"]}, final_memory, vec_q, images,

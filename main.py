@@ -68,9 +68,11 @@ def build_state_and_runner(cfg: Config, embeddings, answer_dict):
             FusedTrainEngine, supports_fused_train)
         if supports_fused_train(cfg):
             # the engine exposes the same .apply contract as the model, so
-            # the loss/optimizer plumbing in steps.py is reused verbatim
+            # the loss/optimizer plumbing in steps.py is reused verbatim;
+            # under a multi-device mesh the fwd/bwd kernels shard_map over
+            # the data axis (each device runs its batch shard)
             train_step = make_train_step(
-                FusedTrainEngine(cfg, embeddings), cfg, tx)
+                FusedTrainEngine(cfg, embeddings, mesh=mesh), cfg, tx)
         else:
             print("main: config outside the fused-train envelope "
                   "(see ops/pallas/mac_train.py); using the XLA train step")
@@ -87,7 +89,7 @@ def build_state_and_runner(cfg: Config, embeddings, answer_dict):
             FusedMACEngine, supports_fused_config)
         from mac_network_tpu.train.steps import make_fused_eval_step
         if supports_fused_config(cfg):
-            engine = FusedMACEngine(cfg, embeddings)
+            engine = FusedMACEngine(cfg, embeddings, mesh=mesh)
             eval_step = make_fused_eval_step(engine, cfg)
         else:
             print(maclog.bcolored(
@@ -115,7 +117,8 @@ def build_state_and_runner(cfg: Config, embeddings, answer_dict):
                 from mac_network_tpu.ops.pallas import (
                     FusedTrainEngine, supports_fused_train)
                 if supports_fused_train(cfg):
-                    step_model = FusedTrainEngine(cfg, embeddings)
+                    step_model = FusedTrainEngine(cfg, embeddings,
+                                                  mesh=mesh)
             train_multistep = make_train_multistep(step_model, cfg, tx)
             device_put_stacked = lambda b: shard_batch_stacked(b, mesh)
 

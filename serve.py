@@ -118,11 +118,13 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
 
     # multi-chip serving: --meshData N (and/or --meshModel M) shards the
     # batch over the data axis of a device mesh — GSPMD inserts the ICI
-    # collectives; params are replicated/vocab-sharded by shard_params.
-    # Opt-in (default stays single-device) because the fused Pallas
-    # engine's custom call does not partition: mesh serving is XLA-only.
+    # collectives for the XLA glue; the fused Pallas engine partitions its
+    # kernels over the same axis with shard_map (each device runs its
+    # batch shard — no KB-sized operand is ever gathered), so --usePallas
+    # and mesh serving compose.  Opt-in (default stays single-device).
     mesh = None
     if cfg.meshData > 1 or cfg.meshModel > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
         from mac_network_tpu.parallel import make_mesh, shard_params
         mesh = make_mesh(cfg)
         n_data = mesh.shape["data"]
@@ -131,12 +133,12 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
                 f"--batchSize {B} must be a multiple of the data mesh "
                 f"axis ({n_data})")
         params = shard_params(params, mesh)
-        if cfg.usePallas or cfg.servingEngine == "pallas":
-            print("serve: mesh serving uses the XLA path (the fused "
-                  "kernel's custom call does not partition over a mesh)",
-                  file=sys.stderr)
-        cfg.usePallas = False
-        cfg.servingEngine = "xla"
+        if state.batch_stats:
+            # BN statistics ride along replicated: mixing single-device-
+            # committed arrays with mesh-sharded params in one jit raises
+            # an incompatible-devices error
+            state = state.replace(batch_stats=jax.device_put(
+                state.batch_stats, NamedSharding(mesh, PartitionSpec())))
         print(f"serve: mesh serving over {dict(mesh.shape)}",
               file=sys.stderr)
     elif len(jax.devices()) > 1:
@@ -173,7 +175,7 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
         from mac_network_tpu.ops.pallas import (
             FusedMACEngine, supports_fused_config)
         if supports_fused_config(cfg):
-            engine = FusedMACEngine(cfg, emb_init)
+            engine = FusedMACEngine(cfg, emb_init, mesh=mesh)
             # kbl (GQA per-example valid-object counts) masks the read
             # attention inside the kernel, matching the XLA path
             if get_att:
@@ -205,6 +207,13 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
                              if cfg.dataset in ("NLVR", "GQA") else {}),
                           **({"imagesInfoFilename": cfg.imagesInfoFile(tier)}
                              if cfg.dataset == "GQA" else {})}, cfg)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        _bs = NamedSharding(mesh, PartitionSpec("data"))
+        place = lambda x: jax.device_put(np.asarray(x), _bs)
+    else:
+        place = jnp.asarray
+
     loader.open()
     try:
         t0 = time.time()
@@ -226,12 +235,6 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
                 if n_obj is not None:
                     n_obj = np.concatenate(
                         [n_obj, np.repeat(n_obj[-1:], pad, 0)])
-            if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec
-                bs = NamedSharding(mesh, PartitionSpec("data"))
-                place = lambda x: jax.device_put(np.asarray(x), bs)
-            else:
-                place = jnp.asarray
             out, atts = predict(params, place(q), place(l), place(img),
                                 None if n_obj is None else place(n_obj))
             out = np.asarray(out)

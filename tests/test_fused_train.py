@@ -260,12 +260,31 @@ def test_fused_train_masks_tile_invariant():
             err_msg=f"tile-dependent grad at {jax.tree_util.keystr(path)}")
 
 
+def kb_sized_allgathers(hlo_text: str, min_elems: int):
+    """all-gather ops in an HLO dump whose output holds >= min_elems
+    elements (catching XLA's gather-the-custom-call-operands fallback)."""
+    import re
+    found = []
+    for line in hlo_text.splitlines():
+        if "all-gather(" not in line and "all-gather-start(" not in line:
+            continue
+        m = re.search(r"=\s*(?:\()?[a-z0-9]+\[([0-9,]*)\]", line)
+        if not m:
+            continue
+        dims = [int(x) for x in m.group(1).split(",") if x]
+        n = int(np.prod(dims)) if dims else 1
+        if n >= min_elems:
+            found.append(line.strip()[:160])
+    return found
+
+
 def test_fused_train_under_dp_mesh():
-    """--fusedTrain composes with the data-parallel mesh: XLA resolves the
-    pallas custom_call by gathering its operands (no sharding rule), so
-    results equal the single-device fused step — a correctness guarantee;
-    on real multi-chip hardware the kernel itself does not partition, so
-    the XLA train step is the recommended multi-chip path (main.py)."""
+    """--fusedTrain composes with the data-parallel mesh: the fwd/bwd
+    kernels shard_map over the data axis (each device runs its batch
+    shard; the only collective is the weight-grad psum), so results equal
+    the single-device fused step AND the compiled program contains no
+    all-gather of KB-sized operands — true kernel-granular DP, the
+    working completion of the reference's towers (model.py:671-679)."""
     import numpy as _np
     from mac_network_tpu.train import (create_train_state, make_optimizer,
                                        make_train_step)
@@ -276,13 +295,13 @@ def test_fused_train_under_dp_mesh():
         if mesh_on:
             cfg.meshData = 8
         model, emb, variables, qs, lens, imgs = make_model_batch(cfg, 16)
-        engine = FusedTrainEngine(cfg, emb, batch_tile=8)
         tx = make_optimizer(cfg)
         batch = {"questions": _np.asarray(qs),
                  "questionLengths": _np.asarray(lens),
                  "images": _np.asarray(imgs),
                  "answers": _np.zeros((16,), _np.int32),
                  "mask": _np.ones((16,), _np.float32)}
+        mesh = None
         if mesh_on:
             mesh = make_mesh(cfg)
             params = shard_params(variables["params"], mesh)
@@ -290,8 +309,16 @@ def test_fused_train_under_dp_mesh():
         else:
             params = variables["params"]
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        engine = FusedTrainEngine(cfg, emb, batch_tile=8, mesh=mesh)
         state = create_train_state(cfg, {"params": params}, tx)
         step = make_train_step(engine, cfg, tx)
+        if mesh_on:
+            txt = step.lower(state, batch, cfg.lr,
+                             jax.random.key(0)).compile().as_text()
+            H, W, C = cfg.imageDims
+            bad = kb_sized_allgathers(txt, 16 * H * W * cfg.memDim // 2)
+            assert not bad, "KB-sized all-gather in the fused mesh step:\n" \
+                + "\n".join(bad)
         losses = []
         for _ in range(2):
             state, m = step(state, batch, cfg.lr, jax.random.key(0))
@@ -300,6 +327,67 @@ def test_fused_train_under_dp_mesh():
 
     assert jax.device_count() >= 8
     np.testing.assert_allclose(run(False), run(True), rtol=2e-5)
+
+
+def test_fused_train_mesh_grads_match_single_device():
+    """Deterministic envelope: per-parameter grads from the mesh-sharded
+    fused recurrence equal the single-device fused recurrence (which
+    itself equals XLA — test_fused_train_grads_match_xla)."""
+    from mac_network_tpu.parallel import make_mesh
+    cfg = det_cfg(writeGate=True)
+    cfg.meshData = 8
+    model, emb, variables, qs, lens, imgs = make_model_batch(cfg, 16)
+    mesh = make_mesh(cfg)
+
+    def grads(mesh_arg):
+        engine = FusedTrainEngine(cfg, emb, batch_tile=8, mesh=mesh_arg)
+        def f(p):
+            lg, _ = engine.apply({"params": p}, qs, lens, imgs, train=True,
+                                 rngs={"dropout": jax.random.key(3)})
+            return jnp.mean(lg ** 2)
+        return jax.jit(jax.grad(f))(variables["params"])
+
+    g1 = grads(None)
+    gM = grads(mesh)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flatM = {jax.tree_util.keystr(p): v
+             for p, v in jax.tree_util.tree_leaves_with_path(gM)}
+    for path, v in flat1:
+        k = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(flatM[k]), np.asarray(v), rtol=1e-5, atol=1e-6,
+            err_msg=f"mesh-dependent grad at {k}")
+
+
+def test_fused_train_mesh_dropout_stochastic_and_deterministic():
+    """Under the mesh, the in-kernel dropout decorrelates across shards
+    (per-shard seed fold) yet stays deterministic per seed; eval equals
+    the XLA path."""
+    from mac_network_tpu.parallel import make_mesh
+    cfg = fused_cfg(writeGate=True)
+    cfg.memoryVariationalDropout = True
+    cfg.readVariationalDropout = True
+    cfg.meshData = 8
+    assert supports_fused_train(cfg)
+    model, emb, variables, qs, lens, imgs = make_model_batch(cfg, 16)
+    mesh = make_mesh(cfg)
+    engine = FusedTrainEngine(cfg, emb, batch_tile=8, mesh=mesh)
+
+    @jax.jit
+    def loss(seed):
+        lg, _ = engine.apply({"params": variables["params"]}, qs, lens,
+                             imgs, train=True,
+                             rngs={"dropout": seed})
+        return jnp.mean(lg ** 2)
+
+    assert float(loss(jax.random.key(5))) == float(loss(jax.random.key(5)))
+    assert float(loss(jax.random.key(5))) != float(loss(jax.random.key(6)))
+
+    lg_e, _ = jax.jit(lambda: engine.apply(
+        {"params": variables["params"]}, qs, lens, imgs, train=False))()
+    lg_x, _ = model.apply(variables, qs, lens, imgs, train=False)
+    np.testing.assert_allclose(np.asarray(lg_e), np.asarray(lg_x),
+                               rtol=2e-5, atol=2e-5)
 
 
 # ------------------------------------------- GQA per-example KB masks

@@ -415,3 +415,84 @@ def test_fused_matches_xla_gqa_feedprev():
                  kb_lengths=n_obj)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=2e-4, atol=2e-4)
+
+
+# ------------------------------------------------- mesh-sharded serving
+
+def test_fused_engine_under_mesh_matches_single_device():
+    """The serving engine partitions its pallas calls over a data mesh
+    with shard_map: logits equal the single-device fused engine, and the
+    compiled program contains NO all-gather of KB-sized operands (XLA's
+    default for an opaque custom call is to gather its inputs)."""
+    from mac_network_tpu.parallel import make_mesh, shard_batch
+    from tests.test_fused_train import kb_sized_allgathers
+    cfg = fused_cfg(writeGate=True)
+    cfg.meshData = 8
+    model, emb, variables, qs, lens, imgs = make_model_batch(cfg, 16)
+    mesh = make_mesh(cfg)
+    eng1 = FusedMACEngine(cfg, emb, batch_tile=8)
+    engM = FusedMACEngine(cfg, emb, batch_tile=8, mesh=mesh)
+    want = eng1(variables, qs, lens, imgs, interpret=True)
+
+    batch = shard_batch({"q": np.asarray(qs), "l": np.asarray(lens),
+                         "im": np.asarray(imgs)}, mesh)
+    f = jax.jit(lambda v, q, l, im: engM(v, q, l, im, interpret=True))
+    got = f(variables, batch["q"], batch["l"], batch["im"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    txt = f.lower(variables, batch["q"], batch["l"],
+                  batch["im"]).compile().as_text()
+    bad = kb_sized_allgathers(txt, 16 * H * W * cfg.memDim // 2)
+    assert not bad, "KB-sized all-gather in mesh serving:\n" + "\n".join(bad)
+
+
+def test_fused_engine_under_mesh_get_att():
+    """Attention-map serving (get_att debug outputs) under the mesh."""
+    from mac_network_tpu.parallel import make_mesh
+    cfg = fused_cfg(writeGate=True)
+    cfg.meshData = 4
+    model, emb, variables, qs, lens, imgs = make_model_batch(cfg, 16)
+    mesh = make_mesh(cfg)
+    eng1 = FusedMACEngine(cfg, emb, batch_tile=8)
+    engM = FusedMACEngine(cfg, emb, batch_tile=8, mesh=mesh)
+    want, atts1 = eng1(variables, qs, lens, imgs, interpret=True,
+                       get_att=True)
+    got, attsM = jax.jit(lambda v, q, l, im: engM(
+        v, q, l, im, interpret=True, get_att=True))(variables, qs, lens,
+                                                    imgs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    for k in atts1:
+        np.testing.assert_allclose(
+            np.asarray(attsM[k]), np.asarray(atts1[k]),
+            rtol=2e-4, atol=2e-4, err_msg=f"mesh attention mismatch: {k}")
+
+
+def test_fused_engine_mesh_gqa_kb_lengths():
+    """GQA per-example KB masks shard over 'data' with the batch."""
+    from mac_network_tpu.parallel import make_mesh
+    cfg = gqa_fused_cfg(writeGate=True)
+    cfg.meshData = 4
+    N = cfg.imageDims[1]
+    rng = np.random.RandomState(0)
+    n_obj = jnp.asarray(rng.randint(1, N + 1, (16,)), jnp.int32)
+    emb = {"q": rng.randn(VOCAB - 1, cfg.wrdEmbDim).astype(np.float32),
+           "a": None}
+    model = MACNetwork(cfg, emb)
+    qs = jnp.asarray(rng.randint(1, VOCAB, (16, L)), jnp.int32)
+    lens = jnp.asarray(rng.randint(3, L + 1, (16,)), jnp.int32)
+    imgs = jnp.asarray(rng.randn(16, 1, N, cfg.imageDims[2]), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        qs, lens, imgs, train=False, kb_lengths=n_obj)
+    mesh = make_mesh(cfg)
+    eng1 = FusedMACEngine(cfg, emb, batch_tile=8)
+    engM = FusedMACEngine(cfg, emb, batch_tile=8, mesh=mesh)
+    want = eng1(variables, qs, lens, imgs, interpret=True,
+                kb_lengths=n_obj)
+    got = jax.jit(lambda v, q, l, im, ko: engM(
+        v, q, l, im, interpret=True, kb_lengths=ko))(
+        variables, qs, lens, imgs, n_obj)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

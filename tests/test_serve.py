@@ -133,6 +133,12 @@ def test_serve_mesh_sharded(tmp_path):
     sharded = run("mesh", meshData=8)
     assert sharded == single
 
+    # the fused Pallas engine composes with mesh serving (shard_map over
+    # 'data'): same predictions as the single-device fused engine
+    pallas_single = run("pallas_single", usePallas=True)
+    pallas_sharded = run("mesh_pallas", meshData=8, usePallas=True)
+    assert pallas_sharded == pallas_single
+
     import pytest as _pytest
     cfg_bad = make_cfg(tmp_path, expName="srvmesh", train=False,
                        restore=True, batchSize=6, getPreds=False,
