@@ -297,9 +297,16 @@ class ReadUnit(nn.Module):
 
         # Step 3: attention over the KB (reference: mac_cell.py:264-277).
         # kb_lengths (GQA object features): mask padded detector slots so
-        # attention — and therefore the retrieved info — ignores them
+        # attention — and therefore the retrieved info — ignores them.
+        # Clamped to >= 1: an image with zero detected objects attends to
+        # slot 0 (a zero feature row -> info == 0), identically in the XLA
+        # and fused engines (an all-masked row would otherwise diverge:
+        # jax.nn.softmax's max-subtraction cancels a uniform -1e30 while
+        # the fused kernels' max-free softmax underflows to zeros)
         logits = self.logits(interactions, train)
-        attention = masked_softmax(logits, kb_lengths)
+        attention = masked_softmax(
+            logits,
+            None if kb_lengths is None else jnp.maximum(kb_lengths, 1))
 
         source = projected_kb if cfg.readSmryKBProj else knowledge_base
         information = att2smry(attention, source)

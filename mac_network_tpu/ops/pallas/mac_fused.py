@@ -468,8 +468,8 @@ def fused_mac_steps(cfg: Config, weights: Dict[str, jnp.ndarray],
             pads = [(0, 0)] * x.ndim
             pads[axis] = (0, Bp - B)
             return jnp.pad(x, pads)
-        # kb_lengths pad rows are 0 -> fully masked rows; the read
-        # softmax's epsilon keeps them at zero instead of NaN
+        # kb_lengths pad rows are 0 -> clamped to slot 0 of the
+        # zero-padded KB (info == 0); those rows are discarded anyway
         padded = {k: padb(v, _BATCH_AXES[k]) for k, v in args.items()}
         kw = {k: padded[k] for k in
               ("controls", "gates", "satt", "words", "wmask",
@@ -555,8 +555,10 @@ def fused_mac_steps(cfg: Config, weights: Dict[str, jnp.ndarray],
     with_kb_mask = kb_lengths is not None
     if with_kb_mask:
         # fold the per-example valid-slot count AND the static Sp/S_real
-        # padding into one additive f32 mask, computed once in the glue
-        lim = jnp.minimum(kb_lengths.astype(jnp.int32), S_real)
+        # padding into one additive f32 mask, computed once in the glue.
+        # Clamped to >= 1 so a zero-object image attends to slot 0 (a zero
+        # feature row) exactly like the XLA path (mac_cell.py read unit)
+        lim = jnp.clip(kb_lengths.astype(jnp.int32), 1, S_real)
         kmask = jnp.where(jnp.arange(Sp)[None, :] < lim[:, None],
                           0.0, NEG_INF).astype(jnp.float32)
         in_specs.append(tile(Bt, Sp))
@@ -795,9 +797,10 @@ class FusedMACEngine:
             preferred_element_type=jnp.float32)
         rlog = rlog + weights["br"].astype(jnp.float32)
         if kb_lengths is not None:
-            # the XLA path's masked_softmax (exp_mask additive -1e30)
+            # the XLA path's masked_softmax (exp_mask additive -1e30);
+            # clamp matches the kernels' >= 1 valid-slot floor
             valid = (jnp.arange(rlog.shape[-1])[None, None, :]
-                     < kb_lengths[None, :, None])
+                     < jnp.maximum(kb_lengths, 1)[None, :, None])
             rlog = rlog + (1.0 - valid.astype(jnp.float32)) * NEG_INF
         return jax.nn.softmax(rlog, axis=-1)                 # [T,B,S] f32
 

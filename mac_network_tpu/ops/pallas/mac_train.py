@@ -699,8 +699,10 @@ def _prep_weights(weights, dtype, d, kb_fresh=False):
 
 def _kb_len_mask(kb_lengths, S_real, Sp):
     """[B, Sp] additive f32 mask from per-example valid-slot counts,
-    folding the static Sp/S_real padding (GQA kb_lengths)."""
-    lim = jnp.minimum(kb_lengths.astype(jnp.int32), S_real)
+    folding the static Sp/S_real padding (GQA kb_lengths).  Clamped to
+    >= 1: a zero-object image attends to slot 0 (a zero feature row),
+    matching the XLA read unit (mac_cell.py)."""
+    lim = jnp.clip(kb_lengths.astype(jnp.int32), 1, S_real)
     return jnp.where(jnp.arange(Sp)[None, :] < lim[:, None],
                      0.0, NEG_INF).astype(jnp.float32)
 

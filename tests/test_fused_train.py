@@ -418,10 +418,11 @@ def make_model_gqa_batch(cfg, batch, n_obj):
 def test_fused_train_gqa_grads_match_xla(fresh):
     """kb_lengths through the fused train pair (fwd read-softmax mask +
     bwd recompute): every gradient equals the XLA path, in both the
-    hoisted and the fresh-KB (in-kernel projections) modes."""
+    hoisted and the fresh-KB (in-kernel projections) modes.  Includes a
+    zero-object example (clamped to the slot-0 floor in both paths)."""
     cfg = gqa_det_cfg()
     assert supports_fused_train(cfg)
-    n_obj = jnp.asarray([3, 7, 10, 5, 1, 9, 4, 10], jnp.int32)
+    n_obj = jnp.asarray([3, 7, 10, 0, 1, 9, 4, 10], jnp.int32)
     model, emb, variables, qs, lens, imgs = make_model_gqa_batch(
         cfg, 8, n_obj)
     engine = FusedTrainEngine(cfg, emb, batch_tile=8, force_fresh_kb=fresh)

@@ -496,3 +496,36 @@ def test_fused_engine_mesh_gqa_kb_lengths():
         variables, qs, lens, imgs, n_obj)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_gqa_zero_objects_pinned():
+    """kb_lengths == 0 (an image with no detected objects) is clamped to a
+    >= 1 valid-slot floor at every consumption site: the example attends
+    ONLY to slot 0, and the XLA path, the fused engine, and the exported
+    attention maps all agree.  Without the clamp the two engines diverge:
+    jax.nn.softmax's max-subtraction cancels a uniform -1e30 (ordinary
+    softmax over ALL slots) while the kernels' max-free softmax underflows
+    an all-masked row to zeros (ADVICE r3)."""
+    cfg = gqa_fused_cfg(writeGate=True)
+    assert supports_fused_config(cfg)
+    n_obj = jnp.asarray([0, 7, 10, 0, 1, 9, 4, 10], jnp.int32)
+    model, emb, variables, qs, lens, imgs = make_model_gqa(cfg, n_obj)
+    # real GQA data zero-pads undetected slots; zero slot 0 of the
+    # zero-object rows so the pinned semantics (info == 0) is visible
+    imgs = imgs.at[0, :, 0, :].set(0.0).at[3, :, 0, :].set(0.0)
+
+    expected, atts_x = model.apply(variables, qs, lens, imgs, train=False,
+                                   kb_lengths=n_obj)
+    engine = FusedMACEngine(cfg, emb, batch_tile=4)
+    got, atts_f = engine(variables, qs, lens, imgs, interpret=True,
+                         kb_lengths=n_obj, get_att=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-4, atol=2e-4)
+    # attention maps: all mass on slot 0 for the zero-object examples,
+    # identical between engines
+    kb_x = np.asarray(atts_x["kb"])               # [T, B, S]
+    kb_f = np.asarray(atts_f["kb"])
+    np.testing.assert_allclose(kb_f, kb_x, rtol=2e-4, atol=2e-4)
+    for b in (0, 3):
+        np.testing.assert_allclose(kb_x[:, b, 0], 1.0, atol=1e-5)
+        assert np.abs(kb_x[:, b, 1:]).max() < 1e-5
