@@ -286,6 +286,13 @@ class Config:
                                     # BENCH_r03 serve_sweep) and the XLA
                                     # path at large batch (MXU-bound,
                                     # where XLA runs at matmul roofline)
+    servingProbe: bool = True       # serve.py engine=auto: time both
+                                    # engines for a few iterations at the
+                                    # requested batch shape (one-shot,
+                                    # cached per device kind + shape under
+                                    # ~/.cache/mac_tpu_xla) instead of
+                                    # trusting the v5e-measured static
+                                    # crossover constant
     fusedTrain: bool = False        # custom-VJP fused TRAINING recurrence
                                     # (ops/pallas/mac_train.py): keeps the
                                     # read chain in VMEM through fwd+bwd.

@@ -36,19 +36,66 @@ import numpy as np
 # 1.08 ms) and B=32 (1.63 vs 1.69), ties within noise at B<=8 (0.72 vs
 # 0.70 at B=1), and loses from B=64 up (2.93 vs 2.74) where the
 # recurrence turns MXU-bound and XLA runs at the matmul roofline.
+# Fallback only: with --servingProbe (the default) engine=auto times both
+# paths at the requested shape and caches the winner per device kind.
 SMALL_BATCH_CROSSOVER = 32
 
 
-def resolve_engine(cfg, backend: str) -> str:
+def _engine_cache_path() -> str:
+    import os
+    d = os.path.join(os.path.expanduser("~"), ".cache", "mac_tpu_xla")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, "serve_engine_cache.json")
+
+
+def _probe_key(cfg, device_kind: str) -> str:
+    H, W, C = cfg.imageDims
+    return (f"{device_kind}|B{cfg.batchSize}|T{cfg.netLength}|d{cfg.memDim}"
+            f"|S{H * W}|{cfg.computeDtype}")
+
+
+def resolve_engine(cfg, backend: str, timer=None, device_kind: str = "",
+                   cache_path: str = None) -> str:
     """--servingEngine {auto,xla,pallas}; --usePallas forces pallas.
-    ``auto`` picks the fused engine only in its measured winning regime
-    (small batch on a real TPU); everywhere else the XLA path."""
+
+    ``auto`` on a real TPU self-calibrates: ``timer(engine) -> seconds``
+    times each path at the requested batch shape (serve() passes a
+    2-warmup/3-rep micro-probe over the jitted predict fns); the winner is
+    cached per (device kind, batch, netLength, memDim, KB size, dtype) in
+    ~/.cache/mac_tpu_xla/serve_engine_cache.json so the probe — and its
+    second compile — is one-shot per platform+shape.  Without a timer
+    (CPU, --no-servingProbe, unsupported config) the v5e-measured
+    SMALL_BATCH_CROSSOVER heuristic applies."""
     if cfg.usePallas:
         return "pallas"
     if cfg.servingEngine != "auto":
         return cfg.servingEngine
-    return ("pallas" if backend == "tpu"
-            and cfg.batchSize <= SMALL_BATCH_CROSSOVER else "xla")
+    if backend != "tpu":
+        return "xla"                   # interpret-mode pallas never wins
+    if timer is not None:
+        path = cache_path or _engine_cache_path()
+        key = _probe_key(cfg, device_kind)
+        try:
+            with open(path) as f:
+                cache = json.load(f)
+        except (OSError, ValueError):
+            cache = {}
+        if key in cache:
+            return cache[key]["engine"]
+        t_xla = timer("xla")
+        t_pallas = timer("pallas")
+        choice = "pallas" if t_pallas < t_xla else "xla"
+        cache[key] = {"engine": choice, "xla_s": t_xla,
+                      "pallas_s": t_pallas}
+        try:
+            with open(path, "w") as f:
+                json.dump(cache, f, indent=1)
+        except OSError:
+            pass
+        print(f"serve: probe {key}: xla {t_xla * 1e3:.2f} ms, pallas "
+              f"{t_pallas * 1e3:.2f} ms -> {choice}", file=sys.stderr)
+        return choice
+    return "pallas" if cfg.batchSize <= SMALL_BATCH_CROSSOVER else "xla"
 
 
 def serve(cfg, input_path: str, output_path: str, tier: str = "val",
@@ -146,35 +193,30 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
               f"({len(jax.devices())} devices visible; pass --meshData N "
               f"to shard the batch over a mesh)", file=sys.stderr)
 
-    # engine selection: "auto" picks the fused engine in its MEASURED
-    # winning regime — small batches on a real TPU, where the step is
-    # HBM-bound and the engine's KB-resident recurrence moves 3.3x fewer
-    # bytes/question (BENCH_r03: 4.23 vs 14.06 MB/q; B=16 latency 1.01
-    # vs 1.08 ms, B=32 1.63 vs 1.69, tie at B<=8) — and the XLA path at
-    # large batch, where the recurrence is MXU-bound and XLA already
-    # runs at the matmul roofline (ARCHITECTURE.md).
-    choice = resolve_engine(cfg, jax.default_backend())
-    if cfg.servingEngine == "auto" and not cfg.usePallas:
-        print(f"serve: engine=auto -> {choice} at batchSize "
-              f"{cfg.batchSize} (crossover {SMALL_BATCH_CROSSOVER})",
+    # hard constraints on the fused engine: the config must be inside the
+    # kernel envelope, and getAtt on controlFeedPrev keeps its control
+    # recurrence in-kernel so attention maps need the XLA path (reference
+    # returns attention wherever getAtt is set, model.py:732-760)
+    from mac_network_tpu.ops.pallas import (
+        FusedMACEngine, supports_fused_config)
+    pallas_ok = supports_fused_config(cfg)
+    if not pallas_ok and (cfg.usePallas or cfg.servingEngine == "pallas"):
+        print("serve: config outside fused envelope; XLA path",
               file=sys.stderr)
-    cfg.usePallas = choice == "pallas"
+    if get_att and cfg.controlFeedPrev:
+        if cfg.usePallas or cfg.servingEngine == "pallas":
+            print("serve: --getAtt on a controlFeedPrev config requires "
+                  "the XLA path; ignoring --usePallas", file=sys.stderr)
+        pallas_ok = False
 
-    # the fused engine serves attention maps via its memory-history debug
-    # output for the hoisted-control kernels; controlFeedPrev (args1) keeps
-    # its control recurrence in-kernel, so getAtt falls back to the XLA
-    # path there (reference returns attention maps wherever getAtt is set,
-    # model.py:732-760)
-    if cfg.usePallas and get_att and cfg.controlFeedPrev:
-        print("serve: --getAtt on a controlFeedPrev config requires the "
-              "XLA path; ignoring --usePallas", file=sys.stderr)
-        cfg.usePallas = False
+    if mesh is not None:
+        _bs = NamedSharding(mesh, PartitionSpec("data"))
+        place = lambda x: jax.device_put(np.asarray(x), _bs)
+    else:
+        place = jnp.asarray
 
-    # prediction function: fused engine when requested and supported
-    if cfg.usePallas:
-        from mac_network_tpu.ops.pallas import (
-            FusedMACEngine, supports_fused_config)
-        if supports_fused_config(cfg):
+    def build_predict(name: str):
+        if name == "pallas":
             engine = FusedMACEngine(cfg, emb_init, mesh=mesh)
             # kbl (GQA per-example valid-object counts) masks the read
             # attention inside the kernel, matching the XLA path
@@ -183,16 +225,11 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
                     logits, atts = engine({"params": p}, q, l, im,
                                           get_att=True, kb_lengths=kbl)
                     return jnp.argmax(logits, -1).astype(jnp.int32), atts
-                predict = jax.jit(_fused_predict)
-            else:
-                predict = jax.jit(lambda p, q, l, im, kbl=None: (jnp.argmax(
-                    engine({"params": p}, q, l, im, kb_lengths=kbl),
-                    -1).astype(jnp.int32), {}))
-        else:
-            print("serve: config outside fused envelope; XLA path",
-                  file=sys.stderr)
-            cfg.usePallas = False
-    if not cfg.usePallas:
+                return jax.jit(_fused_predict)
+            return jax.jit(lambda p, q, l, im, kbl=None: (jnp.argmax(
+                engine({"params": p}, q, l, im, kb_lengths=kbl),
+                -1).astype(jnp.int32), {}))
+
         def _xla_predict(p, q, l, im, kbl=None):
             logits, atts = model.apply(
                 {"params": p, **({"batch_stats": state.batch_stats}
@@ -200,20 +237,59 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
                 q, l, im, train=False, kb_lengths=kbl)
             preds = jnp.argmax(logits, -1).astype(jnp.int32)
             return preds, (atts if get_att else {})
-        predict = jax.jit(_xla_predict)
+        return jax.jit(_xla_predict)
+
+    # engine selection: "auto" self-calibrates on a real TPU — a one-shot
+    # micro-probe times both jitted paths at the requested batch shape and
+    # the winner is cached per device kind + shape (the v5e-measured
+    # crossover moved between TPU generations; resolve_engine).  With the
+    # probe off (or no TPU) the measured-regime heuristic applies: fused
+    # wins small HBM-bound batches where its KB-resident recurrence moves
+    # 3.3x fewer bytes/question (BENCH_r03: 4.23 vs 14.06 MB/q), XLA wins
+    # MXU-bound large batches at the matmul roofline (ARCHITECTURE.md).
+    built = {}
+    timer = None
+    if (cfg.servingEngine == "auto" and not cfg.usePallas and pallas_ok
+            and cfg.servingProbe and jax.default_backend() == "tpu"):
+        H_, W_, C_ = cfg.imageDims
+        d_q = place(np.ones((B, 8), np.int32))
+        d_l = place(np.full((B,), 8, np.int32))
+        d_img = place(np.zeros((B, H_, W_, C_), np.float32))
+        d_kbl = (place(np.full((B,), H_ * W_, np.int32))
+                 if cfg.dataset == "GQA" and cfg.gqaFeatures == "objects"
+                 else None)
+
+        def timer(name: str) -> float:
+            fn = built.setdefault(name, build_predict(name))
+            args = (params, d_q, d_l, d_img, d_kbl)
+            for _ in range(2):                       # compile + warmup
+                np.asarray(fn(*args)[0])
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(fn(*args)[0])
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+    choice = resolve_engine(
+        cfg, jax.default_backend(), timer=timer,
+        device_kind=jax.devices()[0].device_kind)
+    if choice == "pallas" and not pallas_ok:
+        choice = "xla"
+    if cfg.servingEngine == "auto" and not cfg.usePallas:
+        print(f"serve: engine=auto -> {choice} at batchSize "
+              f"{cfg.batchSize}"
+              + ("" if timer is not None else
+                 f" (static crossover {SMALL_BATCH_CROSSOVER})"),
+              file=sys.stderr)
+    cfg.usePallas = choice == "pallas"
+    predict = built.get(choice) or build_predict(choice)
 
     loader = ImageLoader({"imagesFilename": cfg.imagesFile(tier),
                           **({"imageIdsFilename": cfg.imagesIdsFile(tier)}
                              if cfg.dataset in ("NLVR", "GQA") else {}),
                           **({"imagesInfoFilename": cfg.imagesInfoFile(tier)}
                              if cfg.dataset == "GQA" else {})}, cfg)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
-        _bs = NamedSharding(mesh, PartitionSpec("data"))
-        place = lambda x: jax.device_put(np.asarray(x), _bs)
-    else:
-        place = jnp.asarray
-
     loader.open()
     try:
         t0 = time.time()

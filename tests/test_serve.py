@@ -146,3 +146,50 @@ def test_serve_mesh_sharded(tmp_path):
     with _pytest.raises(SystemExit, match="multiple of the data mesh"):
         serve.serve(cfg_bad, str(inp), str(tmp_path / "bad.json"),
                     tier="val")
+
+
+def test_resolve_engine_probe(tmp_path):
+    """The self-calibrating probe overrides the static v5e crossover: on a
+    platform whose measured timings disagree with the heuristic, the timed
+    winner is picked — and cached, so the (expensive, second-compile)
+    probe runs once per device kind + shape."""
+    from serve import resolve_engine, SMALL_BATCH_CROSSOVER
+    from mac_network_tpu.config import Config
+
+    cache = str(tmp_path / "engine_cache.json")
+    cfg = Config()
+    cfg.batchSize = 8                       # heuristic regime: pallas
+
+    # a platform where the fused engine LOSES at small batch
+    t = {"xla": 1.0, "pallas": 2.0}
+    calls = []
+
+    def timer(name):
+        calls.append(name)
+        return t[name]
+
+    assert resolve_engine(cfg, "tpu", timer=timer, device_kind="TPU v9",
+                          cache_path=cache) == "xla"
+    assert sorted(calls) == ["pallas", "xla"]
+
+    # cached: a second resolve never re-times
+    def boom(name):
+        raise AssertionError("probe must not re-run on a cache hit")
+    assert resolve_engine(cfg, "tpu", timer=boom, device_kind="TPU v9",
+                          cache_path=cache) == "xla"
+
+    # a different shape probes again — and can pick the other engine
+    cfg.batchSize = SMALL_BATCH_CROSSOVER * 4   # heuristic regime: xla
+    t = {"xla": 2.0, "pallas": 1.0}
+    assert resolve_engine(cfg, "tpu", timer=timer, device_kind="TPU v9",
+                          cache_path=cache) == "pallas"
+
+    # explicit choices and non-TPU backends bypass the probe entirely
+    assert resolve_engine(cfg, "cpu", timer=boom, device_kind="cpu",
+                          cache_path=cache) == "xla"
+    cfg.servingEngine = "xla"
+    assert resolve_engine(cfg, "tpu", timer=boom, device_kind="TPU v9",
+                          cache_path=cache) == "xla"
+    cfg.usePallas = True
+    assert resolve_engine(cfg, "tpu", timer=boom, device_kind="TPU v9",
+                          cache_path=cache) == "pallas"
