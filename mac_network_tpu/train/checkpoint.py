@@ -34,10 +34,32 @@ def _epoch_dirs(cfg: Config):
     return sorted(out)
 
 
+def _cursor_file(cfg: Config, epoch: int) -> str:
+    return os.path.join(os.path.abspath(cfg.weightsDir()),
+                        f"cursor{epoch}.json")
+
+
+def read_cursor(cfg: Config, epoch: int) -> int:
+    """Batch cursor of an interrupted epoch's checkpoint (0 = the epoch
+    completed, or no such checkpoint).  Written as a JSON sidecar next to
+    the orbax dirs so old checkpoints stay restorable."""
+    import json
+    try:
+        with open(_cursor_file(cfg, epoch)) as f:
+            c = int(json.load(f)["batchCursor"])
+    except (OSError, ValueError, KeyError):
+        return 0
+    path = os.path.abspath(cfg.weightsFile(epoch))
+    return c if os.path.isdir(path) else 0
+
+
 def save_checkpoint(cfg: Config, state, epoch: int,
                     extra: Optional[dict] = None) -> str:
     """Save the full TrainState (+ host metadata) for ``epoch`` and prune
-    old epochs beyond weightsToKeep."""
+    old epochs beyond weightsToKeep.  ``extra["batchCursor"] > 0`` marks a
+    mid-epoch (preemption / saveEvery) checkpoint: the cursor rides in a
+    sidecar so --restore resumes the epoch at exactly the next batch."""
+    import json
     path = os.path.abspath(cfg.weightsFile(epoch))
     if os.path.exists(path):
         shutil.rmtree(path)
@@ -49,6 +71,15 @@ def save_checkpoint(cfg: Config, state, epoch: int,
     ckptr.save(path, payload)
     ckptr.wait_until_finished()
     ckptr.close()
+
+    cursor = int(extra.get("batchCursor", 0))
+    cur_path = _cursor_file(cfg, epoch)
+    if cursor > 0:
+        with open(cur_path, "w") as f:
+            json.dump({"batchCursor": cursor, "epoch": epoch,
+                       "lr": float(extra.get("lr", 0.0))}, f)
+    elif os.path.exists(cur_path):
+        os.remove(cur_path)                # the epoch ran to completion
 
     if cfg.saveSubset and cfg.varSubset:
         sub = _subset_params(state.params, cfg.varSubset)
@@ -69,6 +100,8 @@ def save_checkpoint(cfg: Config, state, epoch: int,
             shutil.rmtree(victim)
             if os.path.exists(victim + "-subset"):
                 shutil.rmtree(victim + "-subset")
+            if os.path.exists(_cursor_file(cfg, e)):
+                os.remove(_cursor_file(cfg, e))
     return path
 
 

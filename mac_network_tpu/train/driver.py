@@ -77,7 +77,7 @@ def choose_training_data(cfg: Config, data: Dict):
 
 
 def alternate_data(cfg: Config, batches: List, alter_data: Dict,
-                   data_len: int):
+                   data_len: int, py_rng=random, np_rng=None):
     """Insert extra-dataset batches every alterNum main batches
     (reference: main.py:343-372)."""
     alter = alter_data["data"][0]          # extra data is not bucketed
@@ -86,8 +86,8 @@ def alternate_data(cfg: Config, batches: List, alter_data: Dict,
     repetitions = math.ceil(needed / per_data)
     alter_batches = []
     for _ in range(repetitions):
-        rep = get_batches(alter, cfg.batchSize)
-        random.shuffle(rep)
+        rep = get_batches(alter, cfg.batchSize, rng=np_rng)
+        py_rng.shuffle(rep)
         alter_batches += rep
     curr = len(batches) - 1
     for ab in alter_batches:
@@ -121,8 +121,15 @@ class Runner:
     def run_epoch(self, state, tier_data: Dict, train: bool, epoch: int,
                   rng=None, saver_hook=None, alter_data=None,
                   get_att: bool = False, get_preds: bool = True,
-                  calle=None, stop_flag=None):
-        """(reference: runEpoch, main.py:546-633)"""
+                  calle=None, stop_flag=None, start_batch: int = 0):
+        """(reference: runEpoch, main.py:546-633)
+
+        ``start_batch``: resume the epoch at this batch index — the batch
+        order is deterministic per (seed, epoch), so a preemption
+        checkpoint's batch cursor reconstructs exactly the remaining
+        batches.  The returned res carries ``batchCursor``: the number of
+        batches consumed when a stop_flag interrupted the epoch (0 = ran
+        to completion)."""
         cfg = self.cfg
         start_time0 = time.time()
         stats = maclog.init_stats()
@@ -140,13 +147,25 @@ class Runner:
         try:
             buckets = tier_data["data"]
             data_len = sum(get_length(b) for b in buckets)
+            # deterministic per-(seed, epoch) instance AND batch order: a
+            # preemption checkpoint's batch cursor then identifies exactly
+            # the remaining batches on resume.  String seeding hashes the
+            # tuple (sha512 in CPython's Random; MT init_by_array for
+            # numpy), so nearby epochs get fully decorrelated streams.
+            order_key = f"{cfg.seed}/{epoch}/{int(train)}"
+            np_rng = np.random.RandomState(
+                np.frombuffer(order_key.encode(), dtype=np.uint8).astype(
+                    np.uint32))
+            py_rng = random.Random(order_key)
             batches: List[Dict] = []
             for bucket in buckets:
-                batches += get_batches(bucket, cfg.batchSize)
-            random.shuffle(batches)
+                batches += get_batches(bucket, cfg.batchSize, rng=np_rng)
+            py_rng.shuffle(batches)
             if train and alter_data is not None:
-                batches, data_len = alternate_data(cfg, batches, alter_data,
-                                                   data_len)
+                batches, data_len = alternate_data(
+                    cfg, batches, alter_data, data_len, py_rng, np_rng)
+            if start_batch:
+                batches = batches[start_batch:]
 
             from mac_network_tpu.parallel.multihost import process_info
             pi, pc = process_info()
@@ -193,18 +212,19 @@ class Runner:
                 print(maclog.stats_line(cfg, stats, res, epoch, batch_num,
                                         data_len, t0), end="", flush=True)
 
+            cursor = 0          # batches consumed when interrupted
             use_chunks = (train
                           and int(getattr(cfg, "stepsPerDispatch", 1)) > 1
                           and self.train_multistep is not None)
             if use_chunks:
-                state = self._run_chunked(state, prefetch, rng, drain,
-                                          saver_hook, calle, stop_flag,
-                                          epoch)
+                state, cursor = self._run_chunked(
+                    state, prefetch, rng, drain, saver_hook, calle,
+                    stop_flag, epoch, start_batch)
                 print("")
                 return state, {"loss": stats["loss"], "acc": stats["acc"],
-                               "preds": preds}
+                               "preds": preds, "batchCursor": cursor}
 
-            for batch_num, batch in enumerate(prefetch):
+            for batch_num, batch in enumerate(prefetch, start=start_batch):
                 t0 = time.time()
                 device_batch = self.device_put({
                     k: batch[k] for k in
@@ -230,7 +250,7 @@ class Runner:
                 if train and saver_hook is not None and batch_num > 0 \
                         and batch_num % cfg.saveEvery == 0:
                     print("\nsaving weights (mid-epoch)")
-                    saver_hook(state, epoch)
+                    saver_hook(state, epoch, batch_num + 1)
 
                 # custom periodic hook (reference: calleEvery, main.py:616-618)
                 if calle is not None and batch_num > 0 \
@@ -239,6 +259,7 @@ class Runner:
 
                 # preemption: stop at a batch boundary with current state
                 if stop_flag is not None and stop_flag.get("flag"):
+                    cursor = batch_num + 1
                     break
             if pending is not None:
                 drain(pending)
@@ -249,11 +270,11 @@ class Runner:
                 jax.profiler.stop_trace()
 
         return state, {"loss": stats["loss"], "acc": stats["acc"],
-                       "preds": preds}
+                       "preds": preds, "batchCursor": cursor}
 
     # --------------------------------------------- chunked dispatch (train)
     def _run_chunked(self, state, prefetch, rng, drain, saver_hook, calle,
-                     stop_flag, epoch):
+                     stop_flag, epoch, start_batch: int = 0):
         """--stepsPerDispatch K training loop: accumulate K consecutive
         same-shape batches and run them through ONE lax.scan device
         dispatch (steps.py make_train_multistep) — numerically identical
@@ -305,7 +326,8 @@ class Runner:
                        (t0, t0 + read_dt, t0 + read_dt + run_dt)))
 
         chunk, chunk_sig, pending = [], None, None
-        for batch_num, batch in enumerate(prefetch):
+        cursor = 0
+        for batch_num, batch in enumerate(prefetch, start=start_batch):
             sig = tuple(np.asarray(batch[k]).shape
                         for k in batch_keys(batch))
             if chunk and sig != chunk_sig:          # bucket shape change
@@ -327,10 +349,11 @@ class Runner:
                 pending, chunk = new_pending, []
             if save_now:
                 print("\nsaving weights (mid-epoch)")
-                saver_hook(state, epoch)
+                saver_hook(state, epoch, batch_num + 1)
             if calle_now:
                 calle()
             if stop_now:
+                cursor = batch_num + 1
                 break
         if chunk:
             state, new_pending = dispatch(state, chunk)
@@ -339,7 +362,7 @@ class Runner:
             pending = new_pending
         if pending is not None:
             drain_chunk(pending)
-        return state
+        return state, cursor
 
     # ---------------------------------------------------------- evaluation
     def run_evaluation(self, state, data: Optional[Dict], epoch: int,
@@ -365,13 +388,18 @@ class Runner:
 
     # ------------------------------------------------------------ training
     def train(self, state, data: Dict, preprocessor, rng,
-              restore_epoch: int = 0):
+              restore_epoch: int = 0, start_batch: int = 0):
         """Full training orchestration (reference: main.py:693-775).
 
         Preemption safety (a reference gap — SURVEY.md §5 "failure
         detection: none"): SIGTERM/SIGINT request a checkpoint at the next
-        batch boundary before exiting, so TPU-pod preemptions resume from
-        at most one batch of lost work via ``--restore``.
+        batch boundary before exiting; the checkpoint carries the epoch's
+        batch cursor (checkpoint.py cursor sidecar), and ``--restore``
+        resumes the interrupted epoch at exactly the next batch — the
+        batch order is deterministic per (seed, epoch), so data coverage
+        is batch-granular, not epoch-granular.  ``start_batch``: resume
+        epoch ``restore_epoch`` itself at this batch index (0 = it
+        completed; start at restore_epoch + 1).
         """
         cfg = self.cfg
         start0 = time.time()
@@ -380,8 +408,10 @@ class Runner:
         prev_res = None
         epoch = restore_epoch
 
-        def saver_hook(st, ep):
-            save_checkpoint(cfg, st, ep, extra={"lr": cfg.lr, "epoch": ep})
+        def saver_hook(st, ep, cursor: int = 0):
+            save_checkpoint(cfg, st, ep,
+                            extra={"lr": cfg.lr, "epoch": ep,
+                                   "batchCursor": cursor})
 
         import signal
         preempted = {"flag": False}
@@ -398,8 +428,13 @@ class Runner:
 
 
 
-        for epoch in range(restore_epoch + 1, cfg.epochs + 1):
-            print(maclog.bcolored(f"Training epoch {epoch}...", "green"))
+        first_epoch = restore_epoch + (0 if start_batch else 1)
+        for epoch in range(first_epoch, cfg.epochs + 1):
+            resuming = epoch == first_epoch and start_batch > 0
+            print(maclog.bcolored(
+                f"Training epoch {epoch}..."
+                + (f" (resuming at batch {start_batch})" if resuming
+                   else ""), "green"))
             start = time.time()
 
             training_data, alter_data = choose_training_data(cfg, data)
@@ -407,13 +442,14 @@ class Runner:
             state, train_res = self.run_epoch(
                 state, training_data, train=True, epoch=epoch, rng=epoch_rng,
                 saver_hook=saver_hook, alter_data=alter_data,
-                get_preds=bool(cfg.analysisType), stop_flag=preempted)
+                get_preds=bool(cfg.analysisType), stop_flag=preempted,
+                start_batch=start_batch if resuming else 0)
 
             if preempted["flag"]:
                 print(maclog.bcolored(
                     "preemption requested: checkpointing and stopping",
                     "red"))
-                saver_hook(state, epoch)
+                saver_hook(state, epoch, train_res.get("batchCursor", 0))
                 break
 
             saver_hook(state, epoch)

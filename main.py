@@ -171,7 +171,9 @@ def main(cfg: Config) -> None:
 
     # restore / initialize (reference: main.py:185-201)
     epoch = 0
+    start_batch = 0
     if cfg.restoreEpoch > 0 or cfg.restore:
+        from mac_network_tpu.train.checkpoint import read_cursor
         if cfg.restoreEpoch == 0:
             try:
                 cfg.restoreEpoch, cfg.lr = maclog.last_logged_epoch(cfg)
@@ -180,9 +182,16 @@ def main(cfg: Config) -> None:
                 # newest checkpoint directory
                 from mac_network_tpu.train.checkpoint import latest_epoch
                 cfg.restoreEpoch = latest_epoch(cfg)
+            # a mid-epoch preemption checkpoint sits one past the CSV tail
+            # with a batch-cursor sidecar: resume THAT epoch at its cursor
+            # (batch-granular data coverage; driver.py run_epoch)
+            if read_cursor(cfg, cfg.restoreEpoch + 1):
+                cfg.restoreEpoch += 1
+        start_batch = read_cursor(cfg, cfg.restoreEpoch)
         print(maclog.bcolored(
-            "Restoring epoch {} and lr {}".format(cfg.restoreEpoch, cfg.lr),
-            "cyan"))
+            "Restoring epoch {} and lr {}".format(cfg.restoreEpoch, cfg.lr)
+            + (f" (mid-epoch batch cursor {start_batch})" if start_batch
+               else ""), "cyan"))
         state = restore_checkpoint(cfg, state, cfg.restoreEpoch, mesh=mesh)
         epoch = cfg.restoreEpoch
     else:
@@ -192,7 +201,8 @@ def main(cfg: Config) -> None:
 
     if cfg.train:
         state, epoch = runner.train(state, data, preprocessor, rng,
-                                    restore_epoch=epoch)
+                                    restore_epoch=epoch,
+                                    start_batch=start_batch)
 
     if cfg.finalTest:
         print("Testing on epoch {}...".format(epoch))

@@ -171,8 +171,9 @@ def test_chunked_loop_flush_paths():
         bn, batch, out, d_atts, times = pending
         drained.append((bn, float(out["loss"])))
 
-    state = runner._run_chunked(0, iter(batches), jax.random.key(0),
-                                drain, None, None, None, epoch=1)
+    state, cursor = runner._run_chunked(0, iter(batches), jax.random.key(0),
+                                        drain, None, None, None, epoch=1)
+    assert cursor == 0                            # ran to completion
     assert calls["multi"] == 1                    # one full chunk of 3
     assert calls["single"] == 3                   # 2 + 1 partials
     assert state == 6                             # every batch stepped once
