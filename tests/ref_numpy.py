@@ -151,10 +151,15 @@ def ops_mul(p, scope, x, y, cfg, proj=None, inter_mod="MUL", concat=None):
         output = (x + mul_bias) * (yb + mul_bias)
     elif inter_mod == "DIAG":
         # reference ops.py:703-706 assigns to `activations` and leaves
-        # `output` undefined — the flag path crashes in TF1; nothing to
-        # transcribe (the new framework documents its fix separately).
-        raise NotImplementedError(
-            "reference ops.py:703-706 DIAG is broken (undefined `output`)")
+        # `output` undefined — the flag path crashes in TF1.  Transcribed
+        # here as the evidently intended elementwise bilinear
+        # x * W * y + b (the same documented fix the framework ships,
+        # mac_network_tpu/ops/mul.py module docstring), so the two
+        # implementations of the FIXED semantics stay independently
+        # cross-checked.
+        W = p(f"{scope}/weights/weight")
+        b = p(f"{scope}/biases/bias")
+        output = x * W * yb + b
     elif inter_mod == "BL":
         W = p(f"{scope}/weights/weight")
         b = p(f"{scope}/biases/bias")
@@ -256,15 +261,17 @@ def _check_envelope(cfg):
         initKBwithQ="NON", controlWholeQ=False, controlContinuous=False,
         controlConcatWords=False, controlProj=False,
         controlInWordsProj=False, controlOutWordsProj=False,
-        controlContextual=True, readProjShared=False, readMemAttType="MUL",
+        controlContextual=True, readProjShared=False,
         readCtrlAttType="MUL", readCtrlConcatKB=False,
         readCtrlConcatInter=False, readSmryKBProj=False, readProjInputs=True,
-        readMemProj=True, readCtrl=True, writeInputs="BOTH",
-        writeConcatMul=False, writeInfoProj=False, writeInfoAct="NON",
+        readMemProj=True, readCtrl=True,
+        writeInfoProj=False, writeInfoAct="NON",
         writeMergeCtrl=False, writeMemAct="NON", writeGateShared=False,
         memoryBN=False, unsharedCells=False, autoEncMem=False,
-        stemStrideSizes=None, relu="ELU",
+        stemStrideSizes=None,
     )
+    # relu variants STD/ELU/LKY are transcribed (_relu_variant); others
+    # (PRM needs a trained variable) raise there
     for flag, expected in unsupported.items():
         got = getattr(cfg, flag)
         if got != expected and not (expected is None and not got):
@@ -350,8 +357,15 @@ def write_unit(p, scope, cfg, memory, info, control, cont_control,
         attention = softmax(inter2logits(
             p, f"{scope}/inter2attselfAttention", interactions, cfg))
         self_smry = att2smry(attention, prev_memories)   # mac_cell.py:330
-    # writeInputs == "BOTH", no concatMul (envelope)
-    new_memory = np.concatenate([memory, info], axis=-1)  # mac_cell.py:339
+    # write-unit inputs (reference mac_cell.py:332-339)
+    if cfg.writeInputs == "INFO":
+        new_memory = info
+    elif cfg.writeInputs == "SUM":
+        new_memory = memory + info
+    elif cfg.writeInputs == "BOTH":
+        new_memory = ops_concat(memory, info, mul=cfg.writeConcatMul)
+    else:                                                # "MEM"
+        new_memory = memory
     if cfg.writeSelfAtt:
         new_memory = np.concatenate([new_memory, self_smry], axis=-1)
     new_memory = linear(p, scope, "newMemory", new_memory, cfg)

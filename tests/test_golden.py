@@ -24,31 +24,15 @@ from tests.test_model import VARIANTS, make_embedding_init, small_cfg
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
-# Rare-flag sweep cases with a numeric anchor (round-2 VERDICT weak #4:
-# the 57-case sweep asserts only shape+finiteness, so rare-flag semantics
-# could silently drift).  Names refer to tests.test_flag_sweep.CASES;
-# picked for the trickiest parity surfaces (concat orders, projections,
-# grid-RNN, init merges, shared answer embeddings).  BN cases are
-# excluded (golden locks params-only eval).
-SWEEP_GOLDEN = [
-    "readCtrlConcatKB",
-    "readCtrlConcatInter",
-    "readSmryKBProj",
-    "readMem_BL",
-    "readMem_ADD",
-    "writeSelfAtt_plain",
-    "writeConcatMul",
-    "writeMergeCtrl",
-    "controlFeedPrev_noAtt",
-    "controlConcatWords",
-    "controlProj",
-    "initKB_MUL",
-    "initKB_CNCT",
-    "addNullWord",
-    "stemGridRnn",
-    "locationPE",
-    "ansEmb_SHARED_DIAG",
-]
+# EVERY sweep case carries a numeric anchor (round-3 VERDICT missing #3:
+# shape+finiteness alone would let a silent transposition hide in the
+# rare read/write/control modes, reference config.py:307-387).  Names
+# refer to tests.test_flag_sweep.CASES.  BN cases lock eval at the
+# deterministic init batch_stats (zero mean / unit var), replayed from
+# the frozen init seed.
+from tests.test_flag_sweep import CASES as _SWEEP_CASES  # noqa: E402
+
+SWEEP_GOLDEN = sorted(_SWEEP_CASES)
 
 # gqa_mask: the GQA object-features path — per-example kb_lengths mask
 # the read attention, with adversarial garbage in the padded slots
@@ -129,10 +113,25 @@ def test_stored_params_reproduce_golden_logits(variant):
     archive = _load(variant)
     model, qs, lengths, images, kb_kw = _model_and_inputs(variant, archive)
     params = jax.tree.map(np.asarray, _unflatten(archive))
+    variables = {"params": params}
+    cfg = golden_cfg(variant)
+    if cfg.stemBN or cfg.outputBN or cfg.memoryBN:
+        # BN eval needs batch_stats: replay the frozen init (its stats are
+        # the deterministic zero-mean/unit-var start) — the golden logits
+        # then lock the scale/center application math
+        with jax.default_matmul_precision("highest"):
+            init_vars = model.init(
+                {"params": jax.random.key(7), "dropout": jax.random.key(8)},
+                qs, lengths, images, **kb_kw)
+        variables["batch_stats"] = init_vars["batch_stats"]
     with jax.default_matmul_precision("highest"):
-        logits, _ = model.apply({"params": params}, qs, lengths, images,
+        logits, _ = model.apply(variables, qs, lengths, images,
                                 train=False, **kb_kw)
-    np.testing.assert_array_equal(
-        np.asarray(logits), archive["logits"],
+    # near-bit-exact: XLA's CPU conv reduction order varies ~1e-7 with the
+    # process's device/thread topology (sweep_stemKernelSizes); a real
+    # semantic drift (transposed weight, wrong concat order) moves logits
+    # at the 1e-1 scale and still trips this
+    np.testing.assert_allclose(
+        np.asarray(logits), archive["logits"], rtol=1e-5, atol=3e-7,
         err_msg="forward-math drift vs golden logits "
                 "(regenerate deliberately: python tests/golden/generate.py)")

@@ -51,9 +51,37 @@ def test_numpy_reference_reproduces_golden_logits(variant):
                 "disagrees with this framework's forward")
 
 
+# rare read/write modes now inside the transcription envelope (round-3
+# VERDICT missing #5): checked against their frozen sweep anchors below
+SWEEP_BRIDGED = [
+    "readMem_DIAG", "readMem_BL", "readMem_ADD",
+    "writeMEM", "writeINFO", "writeSUM", "writeConcatMul",
+]
+
+
+@pytest.mark.parametrize("case", SWEEP_BRIDGED)
+def test_numpy_reference_reproduces_sweep_anchors(case):
+    """The independent transcription covers the rare readMemAttType /
+    writeInputs modes and reproduces their frozen sweep logits."""
+    variant = f"sweep_{case}"
+    archive = _load(variant)
+    cfg = golden_cfg(variant)
+    params = _unflatten(archive)
+    tf_vars = golden_as_tf1_vars(cfg, params)
+    logits, unused = ref_numpy.forward(
+        cfg, tf_vars, archive["questions"], archive["lengths"],
+        archive["images"])
+    assert unused == [], (
+        f"variables the reference graph never reads: {unused}")
+    np.testing.assert_allclose(
+        logits, archive["logits"], rtol=1e-4, atol=1e-4,
+        err_msg="independent numpy transcription of the reference "
+                "disagrees with this framework's forward")
+
+
 def test_numpy_reference_rejects_out_of_envelope():
     cfg = golden_cfg("args")
-    cfg.readMemAttType = "BL"
+    cfg.readCtrlAttType = "ADD"
     with pytest.raises(NotImplementedError):
         ref_numpy.forward(cfg, {}, np.zeros((1, 2), np.int32),
                           np.array([2]), np.zeros((1, 7, 7, 32)))
