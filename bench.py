@@ -358,6 +358,105 @@ def main():
         print(f"# tied-train bench skipped: {type(e).__name__}: {e}",
               flush=True)
 
+    # ---------------- GQA at its real operating point (BASELINE
+    # configs[4]): 100 objects x 2048-dim detector features, netLength=16
+    # bf16, per-example masked attention, in both engines, including the
+    # attention-map export path and the fused/XLA train pair
+    gqa = {}
+    try:
+        import dataclasses as _dc
+        from mac_network_tpu.config import load_dataset_config
+        cfg_g = _dc.replace(cfg, dataset="GQA")
+        load_dataset_config(cfg_g)       # [1, 100, 2048], pointwise stem
+        gqa_B = 256
+        model_g, variables_g, (qs_g, lens_g, imgs_g) = \
+            _make_model_and_inputs(cfg_g, gqa_B)
+        rng_g = np.random.RandomState(11)
+        kbl = jnp.asarray(rng_g.randint(1, cfg_g.gqaObjectsNum + 1,
+                                        (gqa_B,)), jnp.int32)
+
+        @jax.jit
+        def gfwd(variables, qs, lens, imgs, kbl):
+            logits, _ = model_g.apply(variables, qs, lens, imgs,
+                                      train=False, kb_lengths=kbl)
+            return logits.argmax(-1)
+
+        g_dt = _timed(lambda: gfwd(variables_g, qs_g, lens_g, imgs_g, kbl),
+                      fence, 20)
+        gqa["xla_qps"] = round(gqa_B / g_dt, 1)
+        gcost = _cost_of(gfwd, variables_g, qs_g, lens_g, imgs_g, kbl)
+        if "flops" in gcost:
+            gqa["xla_mfu"] = round(
+                (float(gcost["flops"]) / g_dt) / V5E_PEAK_BF16, 4)
+
+        from mac_network_tpu.ops.pallas import (
+            FusedMACEngine, supports_fused_config)
+        if supports_fused_config(cfg_g) and jax.default_backend() != "cpu":
+            eng_g = FusedMACEngine(cfg_g, model_g.embedding_init)
+            gpf = jax.jit(lambda v, q, l, im, k: jnp.argmax(
+                eng_g(v, q, l, im, kb_lengths=k), -1))
+            gp_dt = _timed(
+                lambda: gpf(variables_g, qs_g, lens_g, imgs_g, kbl),
+                fence, 20)
+            gqa["pallas_qps"] = round(gqa_B / gp_dt, 1)
+            # attention-map export (the flagship config names getAtt)
+            gatt = jax.jit(lambda v, q, l, im, k: eng_g(
+                v, q, l, im, kb_lengths=k, get_att=True)[1]["kb"])
+            ga_dt = _timed(
+                lambda: gatt(variables_g, qs_g, lens_g, imgs_g, kbl),
+                fence, 10)
+            gqa["pallas_getatt_qps"] = round(gqa_B / ga_dt, 1)
+
+        # training pair at the same operating point
+        gqa_tB = 128
+        model_gt, variables_gt, (qs_t2, lens_t2, imgs_t2) = \
+            _make_model_and_inputs(cfg_g, gqa_tB)
+        kbl_t = jnp.asarray(rng_g.randint(1, cfg_g.gqaObjectsNum + 1,
+                                          (gqa_tB,)), jnp.int32)
+        gt_batch = {"questions": qs_t2, "questionLengths": lens_t2,
+                    "images": imgs_t2,
+                    "answers": jnp.zeros((gqa_tB,), jnp.int32),
+                    "mask": jnp.ones((gqa_tB,), jnp.float32),
+                    "imageObjectsNum": kbl_t}
+        gt_params = jax.device_get(variables_gt["params"])
+        gt_state = lambda: create_train_state(
+            cfg_g, {"params": jax.tree_util.tree_map(jnp.asarray,
+                                                     gt_params)}, tx)
+        gt_step = make_train_step(model_gt, cfg_g, tx)
+        gt_flops = _flops_of(gt_step, gt_state(), gt_batch, cfg_g.lr, rng)
+        st_g = gt_state()
+
+        def g_step():
+            nonlocal st_g
+            st_g, m = gt_step(st_g, gt_batch, cfg_g.lr, rng)
+            return m["loss"]
+
+        gt_dt = _timed(g_step, fence, 10)
+        gqa["train_ex_s"] = round(gqa_tB / gt_dt, 1)
+        if gt_flops:
+            gqa["train_mfu"] = round(
+                (gt_flops / gt_dt) / V5E_PEAK_BF16, 4)
+
+        from mac_network_tpu.ops.pallas import (
+            FusedTrainEngine, supports_fused_train)
+        if supports_fused_train(cfg_g) and jax.default_backend() != "cpu":
+            gft_step = make_train_step(
+                FusedTrainEngine(cfg_g, model_gt.embedding_init), cfg_g, tx)
+            st_gf = gt_state()
+
+            def gf_step():
+                nonlocal st_gf
+                st_gf, m = gft_step(st_gf, gt_batch, cfg_g.lr, rng)
+                return m["loss"]
+
+            gf_dt = _timed(gf_step, fence, 10)
+            gqa["train_fused_ex_s"] = round(gqa_tB / gf_dt, 1)
+            if gt_flops:
+                gqa["train_fused_mfu"] = round(
+                    (gt_flops / gf_dt) / V5E_PEAK_BF16, 4)
+    except Exception as e:
+        print(f"# gqa bench skipped: {type(e).__name__}: {e}", flush=True)
+
     best_qps = max(xla_qps, pallas_qps or 0.0)
     rnd = lambda v, k=1: None if v is None else round(v, k)
     print(json.dumps({
@@ -387,6 +486,7 @@ def main():
         "train_fused_mfu": rnd(train_fused_mfu, 4),
         "train_scan8_ex_s": rnd(train_scan8_ex_s),
         "train_tied": tied or None,
+        "gqa": gqa or None,
     }))
 
 

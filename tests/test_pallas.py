@@ -529,3 +529,50 @@ def test_gqa_zero_objects_pinned():
     for b in (0, 3):
         np.testing.assert_allclose(kb_x[:, b, 0], 1.0, atol=1e-5)
         assert np.abs(kb_x[:, b, 1:]).max() < 1e-5
+
+
+def test_gqa_hundred_object_envelope():
+    """The GQA real operating point's GEOMETRY (BASELINE configs[4]):
+    100 detector objects (S padded 100->104 inside the kernel),
+    netLength=16, per-example kb_lengths spanning the full 1..100 range —
+    through the fused serving kernel AND the fused train pair, against
+    the XLA path.  Feature dims are reduced to keep CPU interpret-mode
+    runtime sane; the full 2048-dim/512-mem point is measured on-chip by
+    bench.py's gqa section."""
+    from tests.test_fused_train import (assert_grads_close, det_cfg,
+                                        make_model_gqa_batch)
+    from mac_network_tpu.ops.pallas import (FusedTrainEngine,
+                                            supports_fused_train)
+    # every dropout off: the fused train kernels draw masks from an
+    # in-kernel RNG, so grad parity vs XLA is exact only deterministically
+    cfg = det_cfg(dataset="GQA", imageDims=[1, 100, 48],
+                  stemNumLayers=1, stemKernelSize=1, netLength=16,
+                  writeGate=True)
+    assert supports_fused_config(cfg) and supports_fused_train(cfg)
+    n_obj = jnp.asarray([1, 7, 100, 33, 52, 99, 64, 100], jnp.int32)
+    model, emb, variables, qs, lens, imgs = make_model_gqa_batch(
+        cfg, 8, n_obj)
+
+    # serving parity at S=100, T=16
+    expected, _ = model.apply(variables, qs, lens, imgs, train=False,
+                              kb_lengths=n_obj)
+    engine = FusedMACEngine(cfg, emb, batch_tile=8)
+    got = engine(variables, qs, lens, imgs, interpret=True,
+                 kb_lengths=n_obj)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=5e-4, atol=5e-4)
+
+    # train-grad parity at the same geometry
+    engine_t = FusedTrainEngine(cfg, emb, batch_tile=8)
+
+    def loss(apply_fn):
+        def f(p):
+            lg, _ = apply_fn({"params": p}, qs, lens, imgs, train=True,
+                             rngs={"dropout": jax.random.key(3)},
+                             kb_lengths=n_obj)
+            return jnp.mean(lg ** 2)
+        return f
+
+    g_xla = jax.grad(loss(model.apply))(variables["params"])
+    g_fused = jax.grad(loss(engine_t.apply))(variables["params"])
+    assert_grads_close(g_xla, g_fused)
