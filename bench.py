@@ -203,6 +203,28 @@ def main():
             except Exception as e:
                 print(f"# pallas b={b} skipped: {type(e).__name__}: {e}",
                       flush=True)
+        # K-deep dispatch (serve.py --requestsPerDispatch): ONE lax.scan
+        # over 8 stacked request batches amortizes the ~0.9 ms host
+        # dispatch that dominates B<=8 (round-3 VERDICT next #2); the
+        # reported number is the effective per-batch latency
+        if b <= 8:
+            Kd = 8
+            stack = lambda x: jnp.broadcast_to(x, (Kd,) + x.shape)
+            qk, lk, imk = stack(qs_b), stack(lens_b), stack(imgs_b)
+            for name, core in (("xla_k8_ms", fwd), ("pallas_k8_ms", pfwd)):
+                if core is None:
+                    continue
+                try:
+                    kf = jax.jit(lambda v, a, c, d, _core=core:
+                                 jax.lax.scan(
+                                     lambda _, x: (None, _core(v, *x)),
+                                     None, (a, c, d))[1])
+                    dt_k = _timed(lambda: kf(variables, qk, lk, imk),
+                                  fence, 20, trials=3)
+                    entry[name] = round(dt_k / Kd * 1e3, 3)
+                except Exception as e:
+                    print(f"# {name} b={b} skipped: "
+                          f"{type(e).__name__}: {e}", flush=True)
         sweep[f"b{b}"] = entry
 
     b64 = sweep.get("b64", {})
@@ -457,6 +479,87 @@ def main():
     except Exception as e:
         print(f"# gqa bench skipped: {type(e).__name__}: {e}", flush=True)
 
+    # ---------------- end-to-end epoch (round-3 VERDICT missing #5): one
+    # synthetic epoch through the REAL input path — h5 features on disk ->
+    # ImageLoader -> PrefetchIterator -> device_put -> jitted train step —
+    # against the device-only step rate at the same config/shapes, i.e.
+    # the input-pipeline efficiency (the reference IO-threads its hot loop
+    # for exactly this reason, main.py:374-444)
+    e2e = {}
+    try:
+        if jax.default_backend() == "cpu":
+            raise RuntimeError("skipped on cpu")
+        import contextlib
+        import dataclasses as _dc
+        import io
+        import shutil
+        import tempfile
+        import time as _time
+        from mac_network_tpu.config import load_dataset_config
+        from mac_network_tpu.data import Preprocesser
+        from mac_network_tpu.data.synthetic import write_synthetic_dataset
+        from main import build_state_and_runner
+
+        root = tempfile.mkdtemp(prefix="bench_e2e_")
+        n_epoch = 2048                       # 8 batches of 256, ~820MB h5
+        write_synthetic_dataset(root, n_train=n_epoch, n_val=32, n_test=32,
+                                dims=(cfg.imageDims[2], cfg.imageDims[0],
+                                      cfg.imageDims[1]))
+        cfg_e = _dc.replace(cfg, dataBasedir=root, expName="bench_e2e",
+                            wrdEmbRandom=True, wrdEmbUniform=True,
+                            batchSize=train_batch)
+        load_dataset_config(cfg_e)
+        pp = Preprocesser(cfg_e)
+        data_e, emb_e, adict_e = pp.preprocessData()
+        _, state_e, runner_e, _ = build_state_and_runner(cfg_e, emb_e,
+                                                         adict_e)
+        rng_e = jax.random.key(0)
+        quiet = io.StringIO()
+        with contextlib.redirect_stdout(quiet):
+            # epoch 1 pays the compiles; epoch 2 is the measurement
+            state_e, _ = runner_e.run_epoch(
+                state_e, data_e["main"]["train"], train=True, epoch=1,
+                rng=rng_e, get_preds=False)
+            t0 = _time.time()
+            state_e, _ = runner_e.run_epoch(
+                state_e, data_e["main"]["train"], train=True, epoch=2,
+                rng=rng_e, get_preds=False)
+            dt_e2e = _time.time() - t0
+        e2e["ex_s"] = round(n_epoch / dt_e2e, 1)
+
+        # device-only rate at the SAME config and data shapes: one batch
+        # from the same pipeline, kept device-resident
+        from mac_network_tpu.data.loader import ImageLoader, get_batches
+        tier = data_e["main"]["train"]
+        bucket = max(tier["data"], key=lambda b: len(b["instances"]))
+        one = get_batches(bucket, cfg_e.batchSize)[0]
+        ldr = ImageLoader(tier["images"], cfg_e)
+        ldr.open()
+        try:
+            imgs_e = ldr.load_batch(one)
+        finally:
+            ldr.close()
+        db = {"questions": jnp.asarray(one["questions"]),
+              "questionLengths": jnp.asarray(one["questionLengths"]),
+              "images": jnp.asarray(imgs_e),
+              "answers": jnp.asarray(one["answers"]),
+              "mask": jnp.ones((len(one["answers"]),), jnp.float32)}
+        st_e = state_e
+
+        def estep():
+            nonlocal st_e
+            st_e, m = runner_e.train_step(st_e, db, float(cfg_e.lr), rng_e)
+            return m["loss"]
+
+        dt_dev = _timed(estep, fence, 10)
+        e2e["device_ex_s"] = round(len(one["answers"]) / dt_dev, 1)
+        e2e["pipeline_efficiency"] = round(
+            e2e["ex_s"] / e2e["device_ex_s"], 4)
+        shutil.rmtree(root, ignore_errors=True)
+    except Exception as e:
+        print(f"# e2e epoch bench skipped: {type(e).__name__}: {e}",
+              flush=True)
+
     best_qps = max(xla_qps, pallas_qps or 0.0)
     rnd = lambda v, k=1: None if v is None else round(v, k)
     print(json.dumps({
@@ -487,6 +590,7 @@ def main():
         "train_scan8_ex_s": rnd(train_scan8_ex_s),
         "train_tied": tied or None,
         "gqa": gqa or None,
+        "train_e2e": e2e or None,
     }))
 
 

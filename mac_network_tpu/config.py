@@ -286,6 +286,16 @@ class Config:
                                     # BENCH_r03 serve_sweep) and the XLA
                                     # path at large batch (MXU-bound,
                                     # where XLA runs at matmul roofline)
+    requestsPerDispatch: int = 8    # serve.py: when the request queue is
+                                    # >= this many batches deep, stack K
+                                    # batches into ONE jitted lax.scan
+                                    # dispatch (the serving analogue of
+                                    # --stepsPerDispatch) — at B<=8 the
+                                    # step is dispatch-bound (~0.9 ms
+                                    # fixed overhead vs ~0.2 ms compute,
+                                    # BENCH_r03 serve_sweep), so K-deep
+                                    # dispatch amortizes the overhead
+                                    # K-fold.  1 disables.
     servingProbe: bool = True       # serve.py engine=auto: time both
                                     # engines for a few iterations at the
                                     # requested batch shape (one-shot,

@@ -290,13 +290,40 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
                              if cfg.dataset in ("NLVR", "GQA") else {}),
                           **({"imagesInfoFilename": cfg.imagesInfoFile(tier)}
                              if cfg.dataset == "GQA" else {})}, cfg)
+    # K-deep dispatch (the serving analogue of --stepsPerDispatch): when
+    # the request queue is >= K batches deep, K batches ride ONE jitted
+    # lax.scan dispatch — at B<=8 the per-call host dispatch (~0.9 ms)
+    # dominates the ~0.2 ms compute, so this amortizes it K-fold.
+    # Attention export stays per-batch (K*T*B maps would balloon memory).
+    K = max(1, int(cfg.requestsPerDispatch))
+    predict_k = None
+    if K > 1 and not get_att:
+        def _scan_predict(p, qk, lk, imk, kblk=None):
+            def body(_, x):
+                if kblk is None:
+                    q, l, im = x
+                    kbl = None
+                else:
+                    q, l, im, kbl = x
+                return None, predict(p, q, l, im, kbl)[0]
+            xs = ((qk, lk, imk) if kblk is None else (qk, lk, imk, kblk))
+            _, outs = jax.lax.scan(body, None, xs)
+            return outs                              # [K, B]
+        predict_k = jax.jit(_scan_predict)
+        if mesh is not None:
+            _bsk = NamedSharding(mesh, PartitionSpec(None, "data"))
+            place_k = lambda x: jax.device_put(np.asarray(x), _bsk)
+        else:
+            place_k = jnp.asarray
+
     loader.open()
     try:
         t0 = time.time()
         n = len(requests)
         preds_all = []
         atts_all = []
-        for start in range(0, n, B):
+
+        def make_batch(start):
             chunk = requests[start:start + B]
             id_batch = {"imageIds": [r["imageId"] for r in chunk]}
             img = loader.load_batch(id_batch)
@@ -311,18 +338,39 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
                 if n_obj is not None:
                     n_obj = np.concatenate(
                         [n_obj, np.repeat(n_obj[-1:], pad, 0)])
+            return q, l, img, n_obj, len(chunk)
+
+        starts = list(range(0, n, B))
+        i = 0
+        while i < len(starts):
+            if predict_k is not None and i + K <= len(starts):
+                batches = [make_batch(starts[i + j]) for j in range(K)]
+                kblk = (None if batches[0][3] is None else
+                        place_k(np.stack([b[3] for b in batches])))
+                outs = predict_k(
+                    params,
+                    place_k(np.stack([b[0] for b in batches])),
+                    place_k(np.stack([b[1] for b in batches])),
+                    place_k(np.stack([b[2] for b in batches])), kblk)
+                outs = np.asarray(outs)
+                for j, b in enumerate(batches):
+                    preds_all.extend(outs[j][:b[4]].tolist())
+                i += K
+                continue
+            q, l, img, n_obj, n_valid = make_batch(starts[i])
             out, atts = predict(params, place(q), place(l), place(img),
                                 None if n_obj is None else place(n_obj))
             out = np.asarray(out)
-            preds_all.extend(out[:len(chunk)].tolist())
+            preds_all.extend(out[:n_valid].tolist())
             if get_att:
                 # atts: {name: [T, B, ...]} -> per-instance nested lists,
                 # the same schema as train/driver.py build_preds_list
                 atts = {k: np.asarray(v) for k, v in atts.items()}
-                for i in range(len(chunk)):
+                for j in range(n_valid):
                     atts_all.append({
-                        k: [a[t, i].tolist() for t in range(a.shape[0])]
+                        k: [a[t, j].tolist() for t in range(a.shape[0])]
                         for k, a in atts.items()})
+            i += 1
         dt = time.time() - t0
     finally:
         loader.close()

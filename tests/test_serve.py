@@ -193,3 +193,45 @@ def test_resolve_engine_probe(tmp_path):
     cfg.usePallas = True
     assert resolve_engine(cfg, "tpu", timer=boom, device_kind="TPU v9",
                           cache_path=cache) == "pallas"
+
+
+def test_serve_k_deep_dispatch(tmp_path):
+    """--requestsPerDispatch K stacks K batches into one lax.scan dispatch
+    (the serving analogue of --stepsPerDispatch): predictions must be
+    identical to the per-batch path, including a ragged tail that falls
+    back to per-batch dispatch, and compose with mesh sharding."""
+    import json as _json
+
+    import serve
+    from main import main
+    from mac_network_tpu.data.synthetic import write_synthetic_dataset
+    from tests.test_train_e2e import make_cfg
+
+    write_synthetic_dataset(str(tmp_path), n_train=32, n_val=16, n_test=16,
+                            dims=(16, 5, 5))
+    cfg = make_cfg(tmp_path, expName="srvk", epochs=1, getPreds=False,
+                   evalTrain=False, batchSize=8)
+    main(cfg)
+
+    # 4 batches of 4 + a ragged tail of 2 -> one K=4 scan + 2 per-batch
+    requests = [{"question": f"Is object {i} red?", "imageId": i % 8}
+                for i in range(18)]
+    inp = tmp_path / "req.json"
+    with open(inp, "w") as f:
+        _json.dump(requests, f)
+
+    def run(name, **over):
+        cfg2 = make_cfg(tmp_path, expName="srvk", train=False,
+                        restore=True, batchSize=4, getPreds=False,
+                        evalTrain=False, **over)
+        outp = tmp_path / f"{name}.json"
+        stats = serve.serve(cfg2, str(inp), str(outp), tier="val")
+        assert stats["count"] == 18
+        with open(outp) as f:
+            return [a["prediction"] for a in _json.load(f)]
+
+    per_batch = run("k1", requestsPerDispatch=1)
+    k_deep = run("k4", requestsPerDispatch=4)
+    assert k_deep == per_batch
+    mesh_k = run("k4mesh", requestsPerDispatch=4, meshData=4)
+    assert mesh_k == per_batch
