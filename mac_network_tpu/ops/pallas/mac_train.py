@@ -50,6 +50,7 @@ mac_cell.py:305-375 (write), model.py:447-458 (unrolled recurrence).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -119,14 +120,21 @@ def _mix(idx, salt, extra: int):
 def _bits_mask(x, shift: int, keep: float, dtype):
     """Inverted-dropout mask (1/keep with prob ``keep`` else 0) from an
     11-bit field of a mixed word.  11 uniform bits quantize the keep
-    threshold to 1/2048 — ample resolution for dropout."""
+    threshold to 1/2048 — ample resolution for dropout.  The compare runs
+    in the INTEGER domain (field < round(keep * 2048)) so the hot path is
+    shift / and / compare / select — no int->float convert or float
+    multiply on the [Bt, Sp, d] tensor."""
     mant = jax.lax.shift_right_logical(x, shift)
     if shift != 21:                             # not the top field: mask it
         mant = mant & jnp.int32(0x7FF)
-    u = mant.astype(jnp.float32) * jnp.float32(1.0 / (1 << 11))
-    keep_arr = jnp.full(x.shape, keep, jnp.float32)
+    # ceil keeps the draw bit-identical to the former float compare
+    # (mant < keep * 2048  <=>  mant < ceil(keep * 2048) for integer mant).
+    # The select stays in f32: an i1 mask born from an i32 compare lives in
+    # (8,128) tiles and Mosaic cannot relayout it to bf16's (16,128) tiling
+    # ("Invalid relayout ... vector<16x512xi1>"), so select-then-convert.
+    thresh = jnp.full(x.shape, math.ceil(keep * (1 << 11)), jnp.int32)
     scale = jnp.asarray(1.0 / keep, jnp.float32)
-    return jnp.where(u < keep_arr, scale, 0.0).astype(dtype)
+    return jnp.where(mant < thresh, scale, 0.0).astype(dtype)
 
 
 def _keep_mask(idx, salt, extra: int, keep: float, dtype):
@@ -216,7 +224,9 @@ def _fwd_chain(t, memory, kb, kbp, kbw1, ctrl, mem_mask, salt, idx3, idx2,
     rl = r.reshape(Bt, Sp, 128) + br + pad_mask
     ex = jnp.exp(jnp.minimum(rl, 80.0))
     sm = jnp.sum(ex, axis=1, keepdims=True)
-    att3 = ex / (sm + 1e-30)                            # [Bt, Sp, 128] f32
+    # normalize via a tiny [Bt, 1, 128] reciprocal + broadcast multiply —
+    # a full-tensor f32 divide on [Bt, Sp, 128] is several VPU passes
+    att3 = ex * (1.0 / (sm + 1e-30))                    # [Bt, Sp, 128] f32
     attd = att3[:, :, :1].astype(dtype)                 # [Bt, Sp, 1]
     info = jnp.sum(attd * kb, axis=1).astype(dtype)     # [Bt, d]
     return dict(m_in=m_in, y_mask=y_mask, y0=y0, y=y, inter2=inter2,
