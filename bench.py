@@ -373,6 +373,30 @@ def main():
             if tied_flops:
                 tied["fused_mfu"] = round(
                     (tied_flops / dt_tf) / V5E_PEAK_BF16, 4)
+            # --fusedTrain x --stepsPerDispatch 8 (composition is tested,
+            # tests/test_multistep.py): the K-deep device dispatch
+            # amortizes the ~4 ms host gap per step through the tunneled
+            # backend — this is the operating point a user running the
+            # recommended fast recipe actually gets
+            from mac_network_tpu.train.steps import make_train_multistep
+            Kt = 8
+            fused_multi = make_train_multistep(
+                FusedTrainEngine(cfg_tied, model_d.embedding_init),
+                cfg_tied, tx)
+            stacked_d = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (Kt,) + x.shape), t_batch_d)
+            st_fm = fresh()
+
+            def fmstep():
+                nonlocal st_fm
+                st_fm, m = fused_multi(st_fm, stacked_d, cfg_tied.lr, rng)
+                return m["loss"]
+
+            dt_fm = _timed(fmstep, fence, 4) / Kt
+            tied["fused_scan8_ex_s"] = round(train_batch / dt_fm, 1)
+            if tied_flops:
+                tied["fused_scan8_mfu"] = round(
+                    (tied_flops / dt_fm) / V5E_PEAK_BF16, 4)
         if tied_flops:
             tied["xla_mfu"] = round((tied_flops / dt_tx) / V5E_PEAK_BF16, 4)
             tied["flops_per_ex"] = round(tied_flops / train_batch, 0)
@@ -560,6 +584,33 @@ def main():
         print(f"# e2e epoch bench skipped: {type(e).__name__}: {e}",
               flush=True)
 
+    # ---------------- L1 feature extractor (offline ResNet-101 stage-3
+    # trunk, the reference's PyTorch/CUDA extract_features.py rebuilt as
+    # Flax/XLA): jitted forward at the extractor's real operating point
+    # (224x224 f32, CHW h5-parity transpose included).  Random-init
+    # weights — throughput only; conversion parity is tested separately
+    # (tests/test_resnet.py).
+    resnet = {}
+    try:
+        if jax.default_backend() == "cpu":
+            raise RuntimeError("skipped on cpu")
+        from mac_network_tpu.models.resnet import ResNetTrunk
+        trunk = ResNetTrunk(stage=3)
+        rB = 64
+        x_r = jnp.asarray(np.random.RandomState(3)
+                          .randn(rB, 224, 224, 3).astype(np.float32))
+        vars_r = trunk.init(jax.random.key(0), x_r[:1])
+        rfwd = jax.jit(lambda v, x: trunk.apply(v, x).transpose(0, 3, 1, 2))
+        r_dt = _timed(lambda: rfwd(vars_r, x_r), fence, 10)
+        resnet["imgs_s"] = round(rB / r_dt, 1)
+        rcost = _cost_of(rfwd, vars_r, x_r)
+        if "flops" in rcost:
+            resnet["flops_per_img"] = round(float(rcost["flops"]) / rB, 0)
+            resnet["mfu_vs_bf16_peak"] = round(
+                (float(rcost["flops"]) / r_dt) / V5E_PEAK_BF16, 4)
+    except Exception as e:
+        print(f"# resnet bench skipped: {type(e).__name__}: {e}", flush=True)
+
     best_qps = max(xla_qps, pallas_qps or 0.0)
     rnd = lambda v, k=1: None if v is None else round(v, k)
     print(json.dumps({
@@ -591,6 +642,7 @@ def main():
         "train_tied": tied or None,
         "gqa": gqa or None,
         "train_e2e": e2e or None,
+        "resnet_extractor": resnet or None,
     }))
 
 

@@ -326,6 +326,17 @@ class Config:
     meshData: int = 0               # data-parallel mesh axis size (0 = all devices)
     meshModel: int = 1              # model-parallel mesh axis (vocab-dim sharding)
     prefetchDepth: int = 2          # device_put double-buffer depth
+    hbmData: str = "auto"           # auto | on | off — cache a tier's whole
+                                    # feature table in device HBM (one
+                                    # sequential upload, then per-batch image
+                                    # assembly is an on-device gather fed by a
+                                    # ~1KB index vector instead of a ~100MB
+                                    # feature upload).  'auto' enables it per
+                                    # tier when the table fits the remaining
+                                    # hbmDataGB budget.  Single-host only.
+    hbmDataGB: float = 8.0          # total HBM budget for cached feature
+                                    # tables (v5e has 16GB; leave headroom
+                                    # for params/optimizer/activations)
     bucketPad: int = 8              # quantize trimmed question lengths to this
                                     # multiple (static shapes under jit;
                                     # reference trims exactly: main.py:263-270)
@@ -501,6 +512,7 @@ _CHOICES = {
     "autoEncMemLoss": ["CONT", "PROB", "SMRY"],
     "computeDtype": ["float32", "bfloat16"],
     "prngImpl": ["rbg", "threefry"],
+    "hbmData": ["auto", "on", "off"],
 }
 
 

@@ -162,6 +162,151 @@ class ImageLoader:
         return np.asarray([count(i) for i in batch["imageIds"]], np.int32)
 
 
+# -------------------------------------------------------- HBM feature cache
+
+class HBMFeatureCache:
+    """Device-resident feature table: ONE sequential upload of a tier's
+    whole h5/npy feature table into HBM; per-batch image assembly becomes
+    an on-device gather fed by a [B] int32 index vector (~1KB of H2D)
+    instead of a [B,C,H,W] feature slice (~100MB at CLEVR scale).
+
+    TPU-native replacement for the reference's per-batch feed_dict image
+    upload (main.py:256-260, 313-334): MAC trains ~25 epochs over the same
+    frozen ResNet features, so any tier that fits the HBM budget (CLEVR
+    val ~3GB bf16) costs one upload per *run* instead of one per batch —
+    per-epoch H2D drops by ~5 orders of magnitude, which also neutralizes
+    slow host->device links (PCIe contention, or this environment's
+    tunneled TPU at ~40 MB/s post-startup).  The CHW->HWC transpose and
+    the computeDtype cast run on-device during the build, off the host
+    CPU.  Gated by --hbmData auto|on|off with an --hbmDataGB budget;
+    single-host only (each process would need its own table shard).
+    """
+
+    SLAB_ROWS = 256                 # rows per upload slab (~100MB f32 CLEVR)
+
+    def __init__(self, image_loader: ImageLoader, cfg: Config):
+        self.loader = image_loader
+        self.cfg = cfg
+        self.table = None           # [N_padded, ...] computeDtype, HWC
+        self._obj = False           # GQA object features ([N, slots, dim])
+        self.nbytes = 0
+
+    @staticmethod
+    def table_bytes(image_loader: ImageLoader, cfg: Config) -> int:
+        """Device bytes the cached table would occupy (computeDtype)."""
+        feats = image_loader._features()
+        itemsize = 2 if cfg.computeDtype == "bfloat16" else 4
+        return int(np.prod(feats.shape)) * itemsize
+
+    def build(self) -> None:
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        feats = self.loader._features()
+        n, shape = feats.shape[0], feats.shape
+        dtype = (jnp.bfloat16 if self.cfg.computeDtype == "bfloat16"
+                 else jnp.float32)
+        self._obj = len(shape) == 3
+        if self._obj:                     # [N, slots, dim] — cast only
+            row_shape = tuple(shape[1:])
+            prep = jax.jit(lambda s: s.astype(dtype))
+        else:                             # [N, C, H, W] -> [N, H, W, C]
+            row_shape = (shape[2], shape[3], shape[1])
+            prep = jax.jit(lambda s: s.transpose(0, 2, 3, 1).astype(dtype))
+        S = self.SLAB_ROWS
+        n_pad = -(-n // S) * S            # table padded to whole slabs: the
+        #                                   tail slab updates in place like
+        #                                   any other; gather never indexes
+        #                                   the padding
+        update = jax.jit(
+            lambda tbl, slab, i: lax.dynamic_update_slice_in_dim(
+                tbl, slab, i, axis=0),
+            donate_argnums=(0,))          # in-place: O(N) total device copy
+        t0 = _time.time()
+
+        def host_slab(start):
+            slab = np.asarray(feats[start:start + S])
+            if slab.shape[0] < S:         # pad the tail slab (one jit shape)
+                slab = np.concatenate(
+                    [slab,
+                     np.zeros((S - slab.shape[0],) + tuple(slab.shape[1:]),
+                              slab.dtype)], axis=0)
+            return slab
+
+        starts = list(range(0, n, S))
+        raw_bytes = int(np.prod(shape)) * np.dtype(feats.dtype).itemsize
+        table_bytes = int(np.prod((n_pad,) + row_shape)) * (
+            2 if dtype == jnp.bfloat16 else 4)
+        if raw_bytes + table_bytes <= self.cfg.hbmDataGB * 1e9:
+            # two-phase: ALL H2D first (pure device_puts, no program
+            # executions interleaved), then one transform pass.  Transfers
+            # can be much faster before the first compiled-program launch
+            # on tunneled/remote device links; on a directly-attached TPU
+            # this is simply equivalent.  Transient device memory: raw
+            # table + final table (checked against the budget above).
+            raw = [jnp.asarray(host_slab(s)) for s in starts]
+            table = jnp.zeros((n_pad,) + row_shape, dtype)
+            for i, s in enumerate(starts):
+                table = update(table, prep(raw[i]), jnp.int32(s))
+                raw[i] = None             # free the raw slab as we go
+        else:                             # interleaved: O(slab) transient
+            table = jnp.zeros((n_pad,) + row_shape, dtype)
+            for s in starts:
+                table = update(table, prep(jnp.asarray(host_slab(s))),
+                               jnp.int32(s))
+        table.block_until_ready()
+        self.table = table
+        self.nbytes = table.nbytes
+        print(f"HBM feature cache: {n} rows, "
+              f"{table.nbytes / 1e9:.2f} GB {self.cfg.computeDtype} "
+              f"uploaded in {_time.time() - t0:.1f}s", flush=True)
+
+    def gather(self, image_ids, batch_size: int, put=None):
+        """[B, ...] device features for a batch, in the model's layout
+        (matches ``ImageLoader.load_batch`` + the computeDtype cast).  A
+        ragged tail pads by repeating the last row — masked out by the
+        batch's loss mask.  ``put`` optionally re-places the result (e.g.
+        a mesh data-axis sharding)."""
+        import jax.numpy as jnp
+
+        id2idx = self.loader.id2idx
+        to_index = (lambda i: id2idx[i]) if id2idx else (lambda i: i)
+        idx = np.asarray([to_index(i) for i in image_ids], np.int32)
+        if idx.shape[0] < batch_size:
+            idx = np.concatenate(
+                [idx, np.repeat(idx[-1:], batch_size - idx.shape[0])])
+        out = jnp.take(self.table, jnp.asarray(idx), axis=0)
+        if self._obj:                     # [B, 1, slots, dim] grid layout
+            out = out[:, None]
+        return put(out) if put is not None else out
+
+
+def resolve_hbm_cache(runner_caches: Dict, image_loader: ImageLoader,
+                      cfg: Config, process_count: int = 1):
+    """Return (and lazily build) the HBM cache for a tier's feature file,
+    or None when disabled / over budget / multi-host.  ``runner_caches``
+    maps filename -> HBMFeatureCache and persists across epochs so each
+    tier uploads once per run; the --hbmDataGB budget covers the TOTAL of
+    all cached tiers."""
+    mode = getattr(cfg, "hbmData", "off")
+    if mode == "off" or process_count > 1:
+        return None
+    cached = runner_caches.get(image_loader.filename)
+    if cached is not None:
+        return cached
+    need = HBMFeatureCache.table_bytes(image_loader, cfg)
+    used = sum(c.nbytes for c in runner_caches.values())
+    if mode == "auto" and used + need > cfg.hbmDataGB * 1e9:
+        return None
+    cache = HBMFeatureCache(image_loader, cfg)
+    cache.build()
+    runner_caches[image_loader.filename] = cache
+    return cache
+
+
 # ---------------------------------------------------------------- prefetcher
 
 class PrefetchIterator:
@@ -172,9 +317,13 @@ class PrefetchIterator:
 
     def __init__(self, batches: List[Dict], image_loader: Optional[ImageLoader],
                  cfg: Config, train: bool, depth: int = 2,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 hbm_cache: Optional[HBMFeatureCache] = None):
         self.batches = batches
         self.loader = image_loader
+        # with an HBM cache the worker skips the h5 read + transpose + cast
+        # entirely: the consumer gathers features on-device by imageIds
+        self.hbm_cache = hbm_cache
         self.cfg = cfg
         self.train = train
         self.process_index = process_index
@@ -199,7 +348,11 @@ class PrefetchIterator:
                                   for r in local["localRows"]]
             local["nValidGlobal"] = min(n_valid, cfg.batchSize)
             return local
-        if self.loader is not None:
+        if self.loader is not None and self.hbm_cache is not None:
+            n_obj = self.loader.objects_num(batch)
+            if n_obj is not None:
+                batch["imageObjectsNum"] = n_obj
+        elif self.loader is not None:
             images = self.loader.load_batch(batch)
             n_obj = self.loader.objects_num(batch)
             if n_obj is not None:

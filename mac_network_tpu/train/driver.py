@@ -104,7 +104,8 @@ class Runner:
 
     def __init__(self, cfg: Config, model, train_step, eval_step,
                  eval_step_att, answer_dict, device_put=None,
-                 train_multistep=None, device_put_stacked=None):
+                 train_multistep=None, device_put_stacked=None,
+                 image_put=None, image_put_stacked=None):
         self.cfg = cfg
         self.model = model
         self.train_step = train_step
@@ -116,6 +117,12 @@ class Runner:
         # batches (steps.py make_train_multistep)
         self.train_multistep = train_multistep
         self.device_put_stacked = device_put_stacked or (lambda b: b)
+        # --hbmData: per-tier device-resident feature tables, persisted
+        # across epochs (filename -> HBMFeatureCache); image_put re-places
+        # gathered features onto the mesh's data axis
+        self.image_put = image_put
+        self.image_put_stacked = image_put_stacked
+        self._hbm_caches: Dict = {}
 
     # --------------------------------------------------------------- epoch
     def run_epoch(self, state, tier_data: Dict, train: bool, epoch: int,
@@ -169,9 +176,15 @@ class Runner:
 
             from mac_network_tpu.parallel.multihost import process_info
             pi, pc = process_info()
+            # --hbmData: device-resident feature table (one upload per run,
+            # per-batch on-device gather; loader.py HBMFeatureCache)
+            from mac_network_tpu.data.loader import resolve_hbm_cache
+            hbm_cache = resolve_hbm_cache(self._hbm_caches, loader, cfg,
+                                          process_count=pc)
             prefetch = PrefetchIterator(batches, loader, cfg, train,
                                         depth=cfg.prefetchDepth,
-                                        process_index=pi, process_count=pc)
+                                        process_index=pi, process_count=pc,
+                                        hbm_cache=hbm_cache)
 
             # One-batch-deep software pipeline: the device executes batch N
             # while the host converts batch N-1's metrics — the D2H fetch of
@@ -219,18 +232,23 @@ class Runner:
             if use_chunks:
                 state, cursor = self._run_chunked(
                     state, prefetch, rng, drain, saver_hook, calle,
-                    stop_flag, epoch, start_batch)
+                    stop_flag, epoch, start_batch, hbm_cache=hbm_cache)
                 print("")
                 return state, {"loss": stats["loss"], "acc": stats["acc"],
                                "preds": preds, "batchCursor": cursor}
 
             for batch_num, batch in enumerate(prefetch, start=start_batch):
                 t0 = time.time()
-                device_batch = self.device_put({
-                    k: batch[k] for k in
-                    ("questions", "questionLengths", "images", "answers",
-                     "mask") + (("imageObjectsNum",)
-                                if "imageObjectsNum" in batch else ())})
+                arr_keys = (("questions", "questionLengths", "answers",
+                             "mask")
+                            + (() if hbm_cache else ("images",))
+                            + (("imageObjectsNum",)
+                               if "imageObjectsNum" in batch else ()))
+                device_batch = self.device_put(
+                    {k: batch[k] for k in arr_keys})
+                if hbm_cache is not None:
+                    device_batch["images"] = hbm_cache.gather(
+                        batch["imageIds"], cfg.batchSize, put=self.image_put)
                 t1 = time.time()
                 if train:
                     state, out = self.train_step(
@@ -274,7 +292,8 @@ class Runner:
 
     # --------------------------------------------- chunked dispatch (train)
     def _run_chunked(self, state, prefetch, rng, drain, saver_hook, calle,
-                     stop_flag, epoch, start_batch: int = 0):
+                     stop_flag, epoch, start_batch: int = 0,
+                     hbm_cache=None):
         """--stepsPerDispatch K training loop: accumulate K consecutive
         same-shape batches and run them through ONE lax.scan device
         dispatch (steps.py make_train_multistep) — numerically identical
@@ -285,11 +304,15 @@ class Runner:
         computes (same software pipeline as the per-batch loop)."""
         cfg = self.cfg
         K = int(cfg.stepsPerDispatch)
-        keys = ("questions", "questionLengths", "images", "answers", "mask")
+        keys = (("questions", "questionLengths", "answers", "mask")
+                + (() if hbm_cache else ("images",)))
 
         def batch_keys(b):
             return keys + (("imageObjectsNum",)
                            if "imageObjectsNum" in b else ())
+
+        def gathered(b, put):
+            return hbm_cache.gather(b["imageIds"], cfg.batchSize, put=put)
 
         def dispatch(state, chunk):
             t0 = time.time()
@@ -297,6 +320,14 @@ class Runner:
                 stacked = {k: np.stack([np.asarray(b[k]) for _, b in chunk])
                            for k in batch_keys(chunk[0][1])}
                 dev = self.device_put_stacked(stacked)
+                if hbm_cache is not None:
+                    # [K, B, ...] on-device stack of per-batch gathers,
+                    # placed on the stacked (scan-axis-second) sharding
+                    import jax.numpy as jnp
+                    imgs = jnp.stack(
+                        [gathered(b, put=None) for _, b in chunk])
+                    dev["images"] = (self.image_put_stacked(imgs)
+                                     if self.image_put_stacked else imgs)
                 t1 = time.time()
                 state, outs = self.train_multistep(state, dev,
                                                    float(cfg.lr), rng)
@@ -307,6 +338,8 @@ class Runner:
             t1 = time.time()
             for _, b in chunk:
                 dev = self.device_put({k: b[k] for k in batch_keys(b)})
+                if hbm_cache is not None:
+                    dev["images"] = gathered(b, put=self.image_put)
                 state, out = self.train_step(state, dev, float(cfg.lr), rng)
                 outs_l.append(out)
             t2 = time.time()

@@ -122,10 +122,21 @@ def build_state_and_runner(cfg: Config, embeddings, answer_dict):
             train_multistep = make_train_multistep(step_model, cfg, tx)
             device_put_stacked = lambda b: shard_batch_stacked(b, mesh)
 
+    # --hbmData: gathered image features come off the device-resident
+    # table on the default device; re-place them onto the mesh's data axis
+    # (device-to-device, no host round trip)
+    from mac_network_tpu.parallel.mesh import (batch_sharding,
+                                               stacked_batch_sharding)
+    image_put = lambda x: jax.device_put(x, batch_sharding(mesh))
+    image_put_stacked = lambda x: jax.device_put(
+        x, stacked_batch_sharding(mesh))
+
     runner = Runner(cfg, model, train_step, eval_step, eval_step_att,
                     answer_dict, device_put=device_put,
                     train_multistep=train_multistep,
-                    device_put_stacked=device_put_stacked)
+                    device_put_stacked=device_put_stacked,
+                    image_put=image_put,
+                    image_put_stacked=image_put_stacked)
     return model, state, runner, mesh
 
 

@@ -211,7 +211,10 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
 
     if mesh is not None:
         _bs = NamedSharding(mesh, PartitionSpec("data"))
-        place = lambda x: jax.device_put(np.asarray(x), _bs)
+        # device arrays (HBM-cache gathers) re-place device-to-device; a
+        # np.asarray round trip would pull them back through the host
+        place = lambda x: jax.device_put(
+            x if isinstance(x, jax.Array) else np.asarray(x), _bs)
     else:
         place = jnp.asarray
 
@@ -312,11 +315,17 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
         predict_k = jax.jit(_scan_predict)
         if mesh is not None:
             _bsk = NamedSharding(mesh, PartitionSpec(None, "data"))
-            place_k = lambda x: jax.device_put(np.asarray(x), _bsk)
+            place_k = lambda x: jax.device_put(
+                x if isinstance(x, jax.Array) else np.asarray(x), _bsk)
         else:
             place_k = jnp.asarray
 
     loader.open()
+    # --hbmData: device-resident feature table — per-request-batch image
+    # assembly becomes an on-device gather (same budget/auto gate as
+    # training; data/loader.py HBMFeatureCache)
+    from mac_network_tpu.data.loader import resolve_hbm_cache
+    hbm_cache = resolve_hbm_cache({}, loader, cfg)
     try:
         t0 = time.time()
         n = len(requests)
@@ -326,7 +335,10 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
         def make_batch(start):
             chunk = requests[start:start + B]
             id_batch = {"imageIds": [r["imageId"] for r in chunk]}
-            img = loader.load_batch(id_batch)
+            if hbm_cache is not None:
+                img = hbm_cache.gather(id_batch["imageIds"], batch_size=B)
+            else:
+                img = loader.load_batch(id_batch)
             n_obj = loader.objects_num(id_batch)
             q = questions[start:start + B]
             l = lengths[start:start + B]
@@ -334,7 +346,9 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
             if pad:
                 q = np.concatenate([q, np.repeat(q[-1:], pad, 0)])
                 l = np.concatenate([l, np.repeat(l[-1:], pad, 0)])
-                img = np.concatenate([img, np.repeat(img[-1:], pad, 0)])
+                if hbm_cache is None:
+                    img = np.concatenate(
+                        [img, np.repeat(img[-1:], pad, 0)])
                 if n_obj is not None:
                     n_obj = np.concatenate(
                         [n_obj, np.repeat(n_obj[-1:], pad, 0)])
@@ -347,11 +361,14 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
                 batches = [make_batch(starts[i + j]) for j in range(K)]
                 kblk = (None if batches[0][3] is None else
                         place_k(np.stack([b[3] for b in batches])))
+                img_k = (jnp.stack([b[2] for b in batches])
+                         if hbm_cache is not None
+                         else np.stack([b[2] for b in batches]))
                 outs = predict_k(
                     params,
                     place_k(np.stack([b[0] for b in batches])),
                     place_k(np.stack([b[1] for b in batches])),
-                    place_k(np.stack([b[2] for b in batches])), kblk)
+                    place_k(img_k), kblk)
                 outs = np.asarray(outs)
                 for j, b in enumerate(batches):
                     preds_all.extend(outs[j][:b[4]].tolist())
