@@ -125,6 +125,57 @@ def _numeric_lock(tol_xla=2e-3, tol_pallas=2e-2):
             "ok": ok}
 
 
+def _flatten(d, prefix=""):
+    out = {}
+    for k, v in (d or {}).items():
+        key = f"{prefix}.{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        elif isinstance(v, (int, float)) and not isinstance(v, bool):
+            out[key] = float(v)
+    return out
+
+
+def regression_tripwire(result: dict, threshold: float = 0.10) -> dict:
+    """Diff this run's numbers against the PREVIOUS round's recorded
+    BENCH_r{n-1}.json and return every metric that moved more than
+    ``threshold`` relative — so a flagship number can never silently
+    quarter again (round-4 VERDICT next #1: train_fused_ex_s fell
+    4,240 -> 1,126 between rounds and nothing noticed).  Matching lines
+    are also printed as '# TRIPWIRE' comments before the JSON line."""
+    import glob
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = {}
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds[int(m.group(1))] = p
+    if not rounds:
+        return {}
+    prev_path = rounds[max(rounds)]
+    try:
+        with open(prev_path) as f:
+            prev_doc = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    prev = _flatten(prev_doc.get("parsed", prev_doc))
+    cur = _flatten(result)
+    moved = {}
+    for key in sorted(set(prev) & set(cur)):
+        p, c = prev[key], cur[key]
+        if p == 0:
+            continue
+        rel = (c - p) / abs(p)
+        if abs(rel) > threshold:
+            moved[key] = {"prev": p, "cur": c, "pct": round(rel * 100, 1)}
+            print(f"# TRIPWIRE {key}: {p} -> {c} ({rel * 100:+.1f}% "
+                  f"vs {os.path.basename(prev_path)})", flush=True)
+    return moved
+
+
 def main():
     import os
     import jax
@@ -273,7 +324,12 @@ def main():
         state, metrics = train_step(state, t_batch, cfg.lr, rng)
         return metrics["loss"]
 
-    train_dt = _timed(step, fence, 20)
+    # trials=3 on every training section: the tunneled backend can hiccup
+    # for one whole timing window (BENCH_r04 recorded the fused parity
+    # step at 1,126 ex/s; the same code measures ~4,300 on a calm link —
+    # round-4 VERDICT weak #2), so throughput numbers take the best of
+    # three independent windows
+    train_dt = _timed(step, fence, 20, trials=3)
     train_ex_s = train_batch / train_dt
     train_mfu = ((train_flops / train_dt) / V5E_PEAK_BF16
                  if train_flops else None)
@@ -297,7 +353,7 @@ def main():
                 st_p, m = fused_parity_step(st_p, t_batch, cfg.lr, rng)
                 return m["loss"]
 
-            dt_fp = _timed(pstep, fence, 20)
+            dt_fp = _timed(pstep, fence, 20, trials=3)
             train_fused_ex_s = train_batch / dt_fp
             if train_flops:
                 train_fused_mfu = (train_flops / dt_fp) / V5E_PEAK_BF16
@@ -324,7 +380,7 @@ def main():
             st_m, m = multi_step(st_m, stacked, cfg.lr, rng)
             return m["loss"]
 
-        dt_m = _timed(mstep, fence, 4) / K
+        dt_m = _timed(mstep, fence, 4, trials=2) / K
         train_scan8_ex_s = train_batch / dt_m
     except Exception as e:
         print(f"# multi-step bench skipped: {type(e).__name__}: {e}",
@@ -359,7 +415,7 @@ def main():
         xla_tied_step = make_train_step(model_d, cfg_tied, tx)
         tied_flops = _flops_of(xla_tied_step, fresh(), t_batch_d,
                                cfg_tied.lr, rng)
-        dt_tx = _timed(mk_bench(xla_tied_step), fence, 15)
+        dt_tx = _timed(mk_bench(xla_tied_step), fence, 15, trials=3)
         tied["xla_ex_s"] = round(train_batch / dt_tx, 1)
 
         from mac_network_tpu.ops.pallas import (
@@ -368,7 +424,7 @@ def main():
             fused_step = make_train_step(
                 FusedTrainEngine(cfg_tied, model_d.embedding_init),
                 cfg_tied, tx)
-            dt_tf = _timed(mk_bench(fused_step), fence, 15)
+            dt_tf = _timed(mk_bench(fused_step), fence, 15, trials=3)
             tied["fused_ex_s"] = round(train_batch / dt_tf, 1)
             if tied_flops:
                 tied["fused_mfu"] = round(
@@ -392,7 +448,7 @@ def main():
                 st_fm, m = fused_multi(st_fm, stacked_d, cfg_tied.lr, rng)
                 return m["loss"]
 
-            dt_fm = _timed(fmstep, fence, 4) / Kt
+            dt_fm = _timed(fmstep, fence, 4, trials=2) / Kt
             tied["fused_scan8_ex_s"] = round(train_batch / dt_fm, 1)
             if tied_flops:
                 tied["fused_scan8_mfu"] = round(
@@ -428,7 +484,7 @@ def main():
             return logits.argmax(-1)
 
         g_dt = _timed(lambda: gfwd(variables_g, qs_g, lens_g, imgs_g, kbl),
-                      fence, 20)
+                      fence, 20, trials=3)
         gqa["xla_qps"] = round(gqa_B / g_dt, 1)
         gcost = _cost_of(gfwd, variables_g, qs_g, lens_g, imgs_g, kbl)
         if "flops" in gcost:
@@ -443,14 +499,14 @@ def main():
                 eng_g(v, q, l, im, kb_lengths=k), -1))
             gp_dt = _timed(
                 lambda: gpf(variables_g, qs_g, lens_g, imgs_g, kbl),
-                fence, 20)
+                fence, 20, trials=3)
             gqa["pallas_qps"] = round(gqa_B / gp_dt, 1)
             # attention-map export (the flagship config names getAtt)
             gatt = jax.jit(lambda v, q, l, im, k: eng_g(
                 v, q, l, im, kb_lengths=k, get_att=True)[1]["kb"])
             ga_dt = _timed(
                 lambda: gatt(variables_g, qs_g, lens_g, imgs_g, kbl),
-                fence, 10)
+                fence, 10, trials=3)
             gqa["pallas_getatt_qps"] = round(gqa_B / ga_dt, 1)
 
         # training pair at the same operating point
@@ -477,7 +533,7 @@ def main():
             st_g, m = gt_step(st_g, gt_batch, cfg_g.lr, rng)
             return m["loss"]
 
-        gt_dt = _timed(g_step, fence, 10)
+        gt_dt = _timed(g_step, fence, 10, trials=3)
         gqa["train_ex_s"] = round(gqa_tB / gt_dt, 1)
         if gt_flops:
             gqa["train_mfu"] = round(
@@ -495,7 +551,7 @@ def main():
                 st_gf, m = gft_step(st_gf, gt_batch, cfg_g.lr, rng)
                 return m["loss"]
 
-            gf_dt = _timed(gf_step, fence, 10)
+            gf_dt = _timed(gf_step, fence, 10, trials=3)
             gqa["train_fused_ex_s"] = round(gqa_tB / gf_dt, 1)
             if gt_flops:
                 gqa["train_fused_mfu"] = round(
@@ -575,7 +631,7 @@ def main():
             st_e, m = runner_e.train_step(st_e, db, float(cfg_e.lr), rng_e)
             return m["loss"]
 
-        dt_dev = _timed(estep, fence, 10)
+        dt_dev = _timed(estep, fence, 10, trials=3)
         e2e["device_ex_s"] = round(len(one["answers"]) / dt_dev, 1)
         e2e["pipeline_efficiency"] = round(
             e2e["ex_s"] / e2e["device_ex_s"], 4)
@@ -601,7 +657,7 @@ def main():
                           .randn(rB, 224, 224, 3).astype(np.float32))
         vars_r = trunk.init(jax.random.key(0), x_r[:1])
         rfwd = jax.jit(lambda v, x: trunk.apply(v, x).transpose(0, 3, 1, 2))
-        r_dt = _timed(lambda: rfwd(vars_r, x_r), fence, 10)
+        r_dt = _timed(lambda: rfwd(vars_r, x_r), fence, 10, trials=3)
         resnet["imgs_s"] = round(rB / r_dt, 1)
         rcost = _cost_of(rfwd, vars_r, x_r)
         if "flops" in rcost:
@@ -613,7 +669,7 @@ def main():
 
     best_qps = max(xla_qps, pallas_qps or 0.0)
     rnd = lambda v, k=1: None if v is None else round(v, k)
-    print(json.dumps({
+    result = {
         "metric": "clevr_inference_qps_netlength16",
         "value": round(best_qps, 1),
         "unit": "questions/sec/chip",
@@ -643,7 +699,11 @@ def main():
         "gqa": gqa or None,
         "train_e2e": e2e or None,
         "resnet_extractor": resnet or None,
-    }))
+    }
+    moved = regression_tripwire(result)
+    if moved:
+        result["vs_prev_round"] = moved
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

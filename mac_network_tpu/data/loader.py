@@ -189,16 +189,21 @@ class HBMFeatureCache:
         self.cfg = cfg
         self.table = None           # [N_padded, ...] computeDtype, HWC
         self._obj = False           # GQA object features ([N, slots, dim])
+        self.rows = 0               # valid (un-padded) row count
         self.nbytes = 0
 
     @staticmethod
     def table_bytes(image_loader: ImageLoader, cfg: Config) -> int:
-        """Device bytes the cached table would occupy (computeDtype)."""
+        """Device bytes the cached table would occupy (computeDtype), on
+        the SLAB-padded row count actually allocated by build()."""
         feats = image_loader._features()
+        shape = feats.shape
+        S = HBMFeatureCache.SLAB_ROWS
+        n_pad = -(-shape[0] // S) * S
         itemsize = 2 if cfg.computeDtype == "bfloat16" else 4
-        return int(np.prod(feats.shape)) * itemsize
+        return int(np.prod((n_pad,) + tuple(shape[1:]))) * itemsize
 
-    def build(self) -> None:
+    def build(self, budget_bytes: Optional[float] = None) -> None:
         import time as _time
 
         import jax
@@ -240,7 +245,12 @@ class HBMFeatureCache:
         raw_bytes = int(np.prod(shape)) * np.dtype(feats.dtype).itemsize
         table_bytes = int(np.prod((n_pad,) + row_shape)) * (
             2 if dtype == jnp.bfloat16 else 4)
-        if raw_bytes + table_bytes <= self.cfg.hbmDataGB * 1e9:
+        # the two-phase gate checks the REMAINING budget (total budget
+        # minus bytes already held by previously cached tiers), so a
+        # multi-tier run can't transiently exceed --hbmDataGB
+        if budget_bytes is None:
+            budget_bytes = self.cfg.hbmDataGB * 1e9
+        if raw_bytes + table_bytes <= budget_bytes:
             # two-phase: ALL H2D first (pure device_puts, no program
             # executions interleaved), then one transform pass.  Transfers
             # can be much faster before the first compiled-program launch
@@ -259,6 +269,7 @@ class HBMFeatureCache:
                                jnp.int32(s))
         table.block_until_ready()
         self.table = table
+        self.rows = n
         self.nbytes = table.nbytes
         print(f"HBM feature cache: {n} rows, "
               f"{table.nbytes / 1e9:.2f} GB {self.cfg.computeDtype} "
@@ -275,6 +286,14 @@ class HBMFeatureCache:
         id2idx = self.loader.id2idx
         to_index = (lambda i: id2idx[i]) if id2idx else (lambda i: i)
         idx = np.asarray([to_index(i) for i in image_ids], np.int32)
+        # host-side bounds check: jnp.take clamps out-of-range indices on
+        # device, which would silently gather the WRONG row — fail loudly
+        # like the streaming h5 path does on a bad imageId
+        if idx.size and (idx.min() < 0 or idx.max() >= self.rows):
+            bad = idx[(idx < 0) | (idx >= self.rows)][0]
+            raise IndexError(
+                f"HBM feature cache: image index {int(bad)} out of range "
+                f"[0, {self.rows}) for {self.loader.filename}")
         if idx.shape[0] < batch_size:
             idx = np.concatenate(
                 [idx, np.repeat(idx[-1:], batch_size - idx.shape[0])])
@@ -299,10 +318,11 @@ def resolve_hbm_cache(runner_caches: Dict, image_loader: ImageLoader,
         return cached
     need = HBMFeatureCache.table_bytes(image_loader, cfg)
     used = sum(c.nbytes for c in runner_caches.values())
-    if mode == "auto" and used + need > cfg.hbmDataGB * 1e9:
+    remaining = cfg.hbmDataGB * 1e9 - used
+    if mode == "auto" and need > remaining:
         return None
     cache = HBMFeatureCache(image_loader, cfg)
-    cache.build()
+    cache.build(budget_bytes=remaining)
     runner_caches[image_loader.filename] = cache
     return cache
 

@@ -48,23 +48,29 @@ def _engine_cache_path() -> str:
     return os.path.join(d, "serve_engine_cache.json")
 
 
-def _probe_key(cfg, device_kind: str) -> str:
+def _probe_key(cfg, device_kind: str, dispatch_depth: int = 1) -> str:
     H, W, C = cfg.imageDims
     return (f"{device_kind}|B{cfg.batchSize}|T{cfg.netLength}|d{cfg.memDim}"
-            f"|S{H * W}|{cfg.computeDtype}")
+            f"|S{H * W}|{cfg.computeDtype}"
+            + (f"|K{dispatch_depth}" if dispatch_depth > 1 else ""))
 
 
 def resolve_engine(cfg, backend: str, timer=None, device_kind: str = "",
-                   cache_path: str = None) -> str:
+                   cache_path: str = None, dispatch_depth: int = 1) -> str:
     """--servingEngine {auto,xla,pallas}; --usePallas forces pallas.
 
     ``auto`` on a real TPU self-calibrates: ``timer(engine) -> seconds``
     times each path at the requested batch shape (serve() passes a
     2-warmup/3-rep micro-probe over the jitted predict fns); the winner is
-    cached per (device kind, batch, netLength, memDim, KB size, dtype) in
-    ~/.cache/mac_tpu_xla/serve_engine_cache.json so the probe — and its
-    second compile — is one-shot per platform+shape.  Without a timer
-    (CPU, --no-servingProbe, unsupported config) the v5e-measured
+    cached per (device kind, batch, netLength, memDim, KB size, dtype,
+    dispatch depth) in ~/.cache/mac_tpu_xla/serve_engine_cache.json so
+    the probe — and its second compile — is one-shot per platform+shape.
+    ``dispatch_depth`` is the --requestsPerDispatch K the serve loop will
+    actually run: the engine ranking can flip between single-batch predict
+    and the K-deep scan (BENCH_r04 b1: xla_k8 0.412 vs pallas_k8
+    0.516 ms), so serve() hands the probe a timer over the K-deep path and
+    the cache keys the two modes separately.  Without a timer (CPU,
+    --no-servingProbe, unsupported config) the v5e-measured
     SMALL_BATCH_CROSSOVER heuristic applies."""
     if cfg.usePallas:
         return "pallas"
@@ -74,7 +80,7 @@ def resolve_engine(cfg, backend: str, timer=None, device_kind: str = "",
         return "xla"                   # interpret-mode pallas never wins
     if timer is not None:
         path = cache_path or _engine_cache_path()
-        key = _probe_key(cfg, device_kind)
+        key = _probe_key(cfg, device_kind, dispatch_depth)
         try:
             with open(path) as f:
                 cache = json.load(f)
@@ -242,10 +248,32 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
             return preds, (atts if get_att else {})
         return jax.jit(_xla_predict)
 
+    # K-deep dispatch depth (--requestsPerDispatch): known up front so the
+    # probe can time the dispatch mode serving will ACTUALLY run
+    K = max(1, int(cfg.requestsPerDispatch))
+    K_eff = K if not get_att else 1
+
+    def make_scan_predict(predict_fn):
+        """One jitted lax.scan over K stacked request batches."""
+        def _scan_predict(p, qk, lk, imk, kblk=None):
+            def body(_, x):
+                if kblk is None:
+                    q, l, im = x
+                    kbl = None
+                else:
+                    q, l, im, kbl = x
+                return None, predict_fn(p, q, l, im, kbl)[0]
+            xs = ((qk, lk, imk) if kblk is None else (qk, lk, imk, kblk))
+            _, outs = jax.lax.scan(body, None, xs)
+            return outs                              # [K, B]
+        return jax.jit(_scan_predict)
+
     # engine selection: "auto" self-calibrates on a real TPU — a one-shot
     # micro-probe times both jitted paths at the requested batch shape and
-    # the winner is cached per device kind + shape (the v5e-measured
-    # crossover moved between TPU generations; resolve_engine).  With the
+    # dispatch depth, and the winner is cached per device kind + shape + K
+    # (the v5e-measured crossover moved between TPU generations; with
+    # --requestsPerDispatch the ranking flips again — BENCH_r04 b1:
+    # xla_k8 0.412 vs pallas_k8 0.516 ms; resolve_engine).  With the
     # probe off (or no TPU) the measured-regime heuristic applies: fused
     # wins small HBM-bound batches where its KB-resident recurrence moves
     # 3.3x fewer bytes/question (BENCH_r03: 4.23 vs 14.06 MB/q), XLA wins
@@ -261,22 +289,33 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
         d_kbl = (place(np.full((B,), H_ * W_, np.int32))
                  if cfg.dataset == "GQA" and cfg.gqaFeatures == "objects"
                  else None)
+        if K_eff > 1:
+            stackK = lambda x: (None if x is None else
+                                jnp.broadcast_to(x, (K_eff,) + x.shape))
+            dK_q, dK_l, dK_img, dK_kbl = (stackK(d_q), stackK(d_l),
+                                          stackK(d_img), stackK(d_kbl))
 
         def timer(name: str) -> float:
             fn = built.setdefault(name, build_predict(name))
-            args = (params, d_q, d_l, d_img, d_kbl)
+            if K_eff > 1:                # time the K-deep scan path
+                run_fn = make_scan_predict(fn)
+                args = (params, dK_q, dK_l, dK_img, dK_kbl)
+                run = lambda: np.asarray(run_fn(*args))
+            else:
+                args = (params, d_q, d_l, d_img, d_kbl)
+                run = lambda: np.asarray(fn(*args)[0])
             for _ in range(2):                       # compile + warmup
-                np.asarray(fn(*args)[0])
+                run()
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                np.asarray(fn(*args)[0])
+                run()
                 best = min(best, time.perf_counter() - t0)
             return best
 
     choice = resolve_engine(
         cfg, jax.default_backend(), timer=timer,
-        device_kind=jax.devices()[0].device_kind)
+        device_kind=jax.devices()[0].device_kind, dispatch_depth=K_eff)
     if choice == "pallas" and not pallas_ok:
         choice = "xla"
     if cfg.servingEngine == "auto" and not cfg.usePallas:
@@ -298,21 +337,9 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
     # lax.scan dispatch — at B<=8 the per-call host dispatch (~0.9 ms)
     # dominates the ~0.2 ms compute, so this amortizes it K-fold.
     # Attention export stays per-batch (K*T*B maps would balloon memory).
-    K = max(1, int(cfg.requestsPerDispatch))
     predict_k = None
     if K > 1 and not get_att:
-        def _scan_predict(p, qk, lk, imk, kblk=None):
-            def body(_, x):
-                if kblk is None:
-                    q, l, im = x
-                    kbl = None
-                else:
-                    q, l, im, kbl = x
-                return None, predict(p, q, l, im, kbl)[0]
-            xs = ((qk, lk, imk) if kblk is None else (qk, lk, imk, kblk))
-            _, outs = jax.lax.scan(body, None, xs)
-            return outs                              # [K, B]
-        predict_k = jax.jit(_scan_predict)
+        predict_k = make_scan_predict(predict)
         if mesh is not None:
             _bsk = NamedSharding(mesh, PartitionSpec(None, "data"))
             place_k = lambda x: jax.device_put(
@@ -325,7 +352,8 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
     # assembly becomes an on-device gather (same budget/auto gate as
     # training; data/loader.py HBMFeatureCache)
     from mac_network_tpu.data.loader import resolve_hbm_cache
-    hbm_cache = resolve_hbm_cache({}, loader, cfg)
+    hbm_cache = resolve_hbm_cache({}, loader, cfg,
+                                  process_count=jax.process_count())
     try:
         t0 = time.time()
         n = len(requests)

@@ -198,7 +198,7 @@ def test_auto_budget_gate(dataset_root):
         table_gb = HBMFeatureCache.table_bytes(loader, cfg) / 1e9
         caches = {}
         cfg.hbmData = "auto"
-        cfg.hbmDataGB = table_gb / 2          # under budget -> no cache
+        cfg.hbmDataGB = table_gb / 2          # table over budget -> no cache
         assert resolve_hbm_cache(caches, loader, cfg) is None
         assert not caches
         cfg.hbmDataGB = table_gb * 4          # fits -> builds + registers

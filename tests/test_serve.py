@@ -195,6 +195,40 @@ def test_resolve_engine_probe(tmp_path):
                           cache_path=cache) == "pallas"
 
 
+def test_resolve_engine_probes_dispatch_depth(tmp_path):
+    """--requestsPerDispatch changes the timed path AND the cache key:
+    the K-deep scan's engine ranking can flip relative to single-batch
+    predict (BENCH_r04 b1: xla_k8 0.412 ms beats pallas_k8 0.516 while
+    plain xla 0.945 loses to nothing at B=1), so a K=8 serve must probe
+    and cache independently of a K=1 serve at the same shape."""
+    from serve import resolve_engine
+    from mac_network_tpu.config import Config
+
+    cache = str(tmp_path / "engine_cache.json")
+    cfg = Config()
+    cfg.batchSize = 1
+
+    # single-batch ranking: pallas wins
+    t1 = {"xla": 2.0, "pallas": 1.0}
+    assert resolve_engine(cfg, "tpu", timer=lambda n: t1[n],
+                          device_kind="TPU v9", cache_path=cache) == "pallas"
+
+    # K-deep ranking flips: xla wins the scan path.  Same shape, K=8 —
+    # must NOT hit the K=1 cache entry.
+    t8 = {"xla": 1.0, "pallas": 2.0}
+    assert resolve_engine(cfg, "tpu", timer=lambda n: t8[n],
+                          device_kind="TPU v9", cache_path=cache,
+                          dispatch_depth=8) == "xla"
+
+    # both entries cached independently
+    def boom(name):
+        raise AssertionError("probe must not re-run on a cache hit")
+    assert resolve_engine(cfg, "tpu", timer=boom, device_kind="TPU v9",
+                          cache_path=cache) == "pallas"
+    assert resolve_engine(cfg, "tpu", timer=boom, device_kind="TPU v9",
+                          cache_path=cache, dispatch_depth=8) == "xla"
+
+
 def test_serve_k_deep_dispatch(tmp_path):
     """--requestsPerDispatch K stacks K batches into one lax.scan dispatch
     (the serving analogue of --stepsPerDispatch): predictions must be
