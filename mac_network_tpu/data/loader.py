@@ -303,25 +303,200 @@ class HBMFeatureCache:
         return put(out) if put is not None else out
 
 
+class ShardedHBMFeatureCache:
+    """Feature table sharded over the mesh 'data' axis — the multi-chip /
+    multi-host form of :class:`HBMFeatureCache` (which keeps the whole
+    table on one device).
+
+    Upload: ``jax.make_array_from_callback`` over a ``P('data')``-sharded
+    global array — each process's callback fires only for ITS addressable
+    shards, so disk IO, H2D bytes, and HBM all scale with the host count
+    (previously ``resolve_hbm_cache`` bailed at ``process_count > 1``,
+    leaving the cache unavailable exactly where input pressure is worst).
+    The CHW->HWC transpose + computeDtype cast run on-device per shard
+    (elementwise, no collectives).
+
+    Gather: a ``shard_map`` kernel — all_gather the per-shard request
+    indices (4 bytes/row: tiny), every shard contributes the rows IT owns
+    (masked take), ``psum_scatter`` hands each shard its [B/n] output
+    rows.  Per batch that moves ~B x row_bytes over ICI instead of
+    B x row_bytes from host RAM over PCIe/DCN per process.
+    """
+
+    def __init__(self, image_loader: ImageLoader, cfg: Config, mesh):
+        self.loader = image_loader
+        self.cfg = cfg
+        self.mesh = mesh
+        self.table = None            # global [N_pad, ...] P('data'), HWC
+        self._obj = False
+        self.rows = 0
+        self.nbytes = 0              # PER-DEVICE table bytes (budget unit)
+        self._gather_fns = {}        # global batch size -> jitted shard_map
+
+    @staticmethod
+    def per_device_bytes(image_loader: ImageLoader, cfg: Config,
+                         mesh) -> int:
+        """Steady-state table bytes PER DEVICE (the --hbmDataGB budget is
+        per-device HBM).  The raw-f32 upload transient adds ~2x (bf16) on
+        top; build() gates on the sum."""
+        feats = image_loader._features()
+        n_data = mesh.shape["data"]
+        n_pad = -(-feats.shape[0] // n_data) * n_data
+        itemsize = 2 if cfg.computeDtype == "bfloat16" else 4
+        per_row = int(np.prod(feats.shape[1:])) * itemsize
+        return n_pad // n_data * per_row
+
+    def build(self, budget_bytes: Optional[float] = None) -> None:
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        feats = self.loader._features()
+        n, shape = feats.shape[0], feats.shape
+        dtype = (jnp.bfloat16 if self.cfg.computeDtype == "bfloat16"
+                 else jnp.float32)
+        self._obj = len(shape) == 3
+        n_data = self.mesh.shape["data"]
+        n_pad = -(-n // n_data) * n_data      # rows tile the data axis
+        t0 = _time.time()
+
+        def read_shard(index):
+            # index: per-shard global slices of [n_pad, ...raw dims]
+            r0, r1 = index[0].start or 0, index[0].stop or n_pad
+            valid = max(0, min(r1, n) - r0)
+            out = np.zeros((r1 - r0,) + tuple(shape[1:]), feats.dtype)
+            if valid:
+                out[:valid] = feats[r0:r0 + valid]
+            return out
+
+        raw_sh = NamedSharding(self.mesh, P(*(("data",) + (None,) *
+                                              (len(shape) - 1))))
+        raw = jax.make_array_from_callback((n_pad,) + tuple(shape[1:]),
+                                           raw_sh, read_shard)
+        if self._obj:                     # [N, slots, dim] — cast only
+            prep = lambda t: t.astype(dtype)
+            out_sh = raw_sh
+        else:                             # [N, C, H, W] -> [N, H, W, C]
+            prep = lambda t: t.transpose(0, 2, 3, 1).astype(dtype)
+            out_sh = NamedSharding(self.mesh, P("data", None, None, None))
+        table = jax.jit(prep, out_shardings=out_sh)(raw)
+        table.block_until_ready()
+        del raw
+        self.table = table
+        self.rows = n
+        self.nbytes = table.nbytes // n_data
+        if jax.process_index() == 0:
+            print(f"HBM feature cache (sharded x{n_data}): {n} rows, "
+                  f"{table.nbytes / 1e9:.2f} GB {self.cfg.computeDtype} "
+                  f"({self.nbytes / 1e9:.2f} GB/device) uploaded in "
+                  f"{_time.time() - t0:.1f}s", flush=True)
+
+    def _build_gather(self, B: int):
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_data = self.mesh.shape["data"]
+        Nl = self.table.shape[0] // n_data
+        fdims = self.table.ndim - 1
+
+        def kernel(tbl, idx):             # tbl [Nl, ...], idx [B/n]
+            idx_all = lax.all_gather(idx, "data", tiled=True)   # [B]
+            base = lax.axis_index("data") * Nl
+            loc = idx_all - base
+            ok = (loc >= 0) & (loc < Nl)
+            rows = jnp.take(tbl, jnp.clip(loc, 0, Nl - 1), axis=0)
+            rows = jnp.where(ok.reshape((B,) + (1,) * fdims), rows,
+                             jnp.zeros((), rows.dtype))
+            return lax.psum_scatter(rows, "data", scatter_dimension=0,
+                                    tiled=True)                 # [B/n, ...]
+
+        spec_t = P(*(("data",) + (None,) * fdims))
+        fn = shard_map(kernel, mesh=self.mesh,
+                       in_specs=(spec_t, P("data")),
+                       out_specs=spec_t, check_vma=False)
+        return jax.jit(fn)
+
+    def gather(self, image_ids, batch_size: int, put=None):
+        """[B_global, ...] sharded P('data') device features for a batch.
+        ``image_ids`` are this PROCESS's local rows of the global batch
+        (under multi-host the prefetcher slices per process); every
+        process calls this collectively.  ``put`` is ignored — the result
+        is born on the mesh."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        id2idx = self.loader.id2idx
+        to_index = (lambda i: id2idx[i]) if id2idx else (lambda i: i)
+        idx = np.asarray([to_index(i) for i in image_ids], np.int32)
+        if idx.size and (idx.min() < 0 or idx.max() >= self.rows):
+            bad = idx[(idx < 0) | (idx >= self.rows)][0]
+            raise IndexError(
+                f"HBM feature cache: image index {int(bad)} out of range "
+                f"[0, {self.rows}) for {self.loader.filename}")
+        per_process = batch_size // max(1, jax.process_count())
+        if idx.shape[0] < per_process:
+            idx = np.concatenate(
+                [idx, np.repeat(idx[-1:], per_process - idx.shape[0])])
+        g_idx = jax.make_array_from_process_local_data(
+            NamedSharding(self.mesh, P("data")), idx, (batch_size,))
+        fn = self._gather_fns.get(batch_size)
+        if fn is None:
+            fn = self._gather_fns[batch_size] = self._build_gather(batch_size)
+        out = fn(self.table, g_idx)
+        if self._obj:                     # [B, 1, slots, dim] grid layout
+            out = out[:, None]
+        return out
+
+
 def resolve_hbm_cache(runner_caches: Dict, image_loader: ImageLoader,
-                      cfg: Config, process_count: int = 1):
+                      cfg: Config, process_count: int = 1, mesh=None):
     """Return (and lazily build) the HBM cache for a tier's feature file,
-    or None when disabled / over budget / multi-host.  ``runner_caches``
-    maps filename -> HBMFeatureCache and persists across epochs so each
-    tier uploads once per run; the --hbmDataGB budget covers the TOTAL of
-    all cached tiers."""
+    or None when disabled / over budget.  ``runner_caches`` maps
+    filename -> cache and persists across epochs so each tier uploads
+    once per run; the --hbmDataGB budget is PER DEVICE and covers the
+    total of all cached tiers.
+
+    Single device: the slab-tuned :class:`HBMFeatureCache`.  Multi-host —
+    or a single-host table that only fits when split over the mesh's data
+    axis — :class:`ShardedHBMFeatureCache` (each process uploads its row
+    range; per-batch assembly is an all_gather(idx)/psum_scatter(rows)
+    shard_map kernel)."""
     mode = getattr(cfg, "hbmData", "off")
-    if mode == "off" or process_count > 1:
+    if mode == "off":
         return None
+    n_data = int(mesh.shape["data"]) if mesh is not None else 1
+    if process_count > 1 and (mesh is None or n_data % process_count):
+        return None                       # data axis must tile the hosts
     cached = runner_caches.get(image_loader.filename)
     if cached is not None:
         return cached
-    need = HBMFeatureCache.table_bytes(image_loader, cfg)
     used = sum(c.nbytes for c in runner_caches.values())
     remaining = cfg.hbmDataGB * 1e9 - used
-    if mode == "auto" and need > remaining:
+    if process_count == 1:
+        need = HBMFeatureCache.table_bytes(image_loader, cfg)
+        if need <= remaining or mode == "on":
+            cache = HBMFeatureCache(image_loader, cfg)
+            cache.build(budget_bytes=remaining)
+            runner_caches[image_loader.filename] = cache
+            return cache
+        # auto + over budget: fall through to the sharded form, which
+        # needs only table/n_data per device
+    if mesh is None or (n_data < 2 and process_count == 1):
         return None
-    cache = HBMFeatureCache(image_loader, cfg)
+    per_dev = ShardedHBMFeatureCache.per_device_bytes(image_loader, cfg,
+                                                      mesh)
+    # the raw-f32 upload transient coexists with the final table
+    itemsize = 2 if cfg.computeDtype == "bfloat16" else 4
+    transient = per_dev * (1 + 4 // itemsize)
+    if mode == "auto" and transient > remaining:
+        return None
+    cache = ShardedHBMFeatureCache(image_loader, cfg, mesh)
     cache.build(budget_bytes=remaining)
     runner_caches[image_loader.filename] = cache
     return cache
@@ -358,12 +533,15 @@ class PrefetchIterator:
         if self.process_count > 1:
             # multi-host: this process prepares (and reads from disk) ONLY
             # its rows of the global batch; the consumer assembles global
-            # arrays via assemble_global (parallel/multihost.py)
+            # arrays via assemble_global (parallel/multihost.py).  With a
+            # (sharded) HBM cache the feature read is skipped — the
+            # consumer gathers on-device by the local imageIds
             from mac_network_tpu.parallel.multihost import host_local_batch
             n_valid = len(batch["answers"])
             local = host_local_batch(
                 batch, cfg.batchSize, self.process_index, self.process_count,
-                image_loader=self.loader, compute_dtype=cfg.computeDtype)
+                image_loader=self.loader, compute_dtype=cfg.computeDtype,
+                load_images=self.hbm_cache is None)
             local["instances"] = [batch["instances"][r]
                                   for r in local["localRows"]]
             local["nValidGlobal"] = min(n_valid, cfg.batchSize)

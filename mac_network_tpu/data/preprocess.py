@@ -102,14 +102,27 @@ class Preprocesser:
         return instances
 
     def writeFiles(self, instances, instancesFilename: str) -> None:
-        with open(instancesFilename, "w") as f:
-            json.dump(instances, f)
-        with open(self.cfg.questionDictFile(), "wb") as f:
-            pickle.dump(self.questionDict, f)
-        with open(self.cfg.answerDictFile(), "wb") as f:
-            pickle.dump(self.answerDict, f)
-        with open(self.cfg.qaDictFile(), "wb") as f:
-            pickle.dump(self.qaDict, f)
+        """Atomic cache writes: under multi-host training every process
+        runs the Preprocesser against the SAME shared dataset dir (the
+        reference is single-process, preprocess.py:228-260, so it writes
+        in place) — a reader racing a writer must never see a torn pickle.
+        Each file lands via temp + os.rename, and the instances JSON (the
+        existence gate the readers check) renames LAST, so
+        exists(instances) implies the dict pickles are complete.  Losers
+        of the race rebuild redundantly but correctly."""
+        def atomic(path: str, write, mode: str):
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, mode) as f:
+                write(f)
+            os.rename(tmp, path)
+
+        atomic(self.cfg.questionDictFile(),
+               lambda f: pickle.dump(self.questionDict, f), "wb")
+        atomic(self.cfg.answerDictFile(),
+               lambda f: pickle.dump(self.answerDict, f), "wb")
+        atomic(self.cfg.qaDictFile(),
+               lambda f: pickle.dump(self.qaDict, f), "wb")
+        atomic(instancesFilename, lambda f: json.dump(instances, f), "w")
 
     def writePreds(self, res, tier: str, suffix: str = "") -> None:
         """Sorted predictions JSON + one-answer-per-line txt

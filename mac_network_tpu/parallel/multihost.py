@@ -87,26 +87,32 @@ def local_rows(n_valid: int, batch_size: int, process_index: int,
 
 def host_local_batch(batch: Dict, batch_size: int, process_index: int,
                      process_count: int,
-                     image_loader=None, compute_dtype: str = "float32") -> Dict:
+                     image_loader=None, compute_dtype: str = "float32",
+                     load_images: bool = True) -> Dict:
     """Slice a trimmed (unpadded) batch to this process's rows, loading
     image features ONLY for those rows (per-process IO sharding —
     the working replacement for the reference's single-process h5 reads,
-    main.py:325-334)."""
+    main.py:325-334).  ``load_images=False`` (HBM feature cache active)
+    keeps the GQA object counts but skips the h5 feature read — the
+    consumer gathers features on-device from the sharded table."""
     n_valid = len(batch["answers"])
     rows, mask = local_rows(n_valid, batch_size, process_index, process_count)
     out = dict(batch)
     for k in ("questions", "questionLengths", "answers"):
         out[k] = np.asarray(batch[k])[rows]
+    if "imageIds" in batch:
+        out["imageIds"] = [batch["imageIds"][r] for r in rows]
     if image_loader is not None:
-        id_batch = {"imageIds": [batch["imageIds"][r] for r in rows]}
-        images = image_loader.load_batch(id_batch)
+        id_batch = {"imageIds": out["imageIds"]}
         n_obj = image_loader.objects_num(id_batch)
         if n_obj is not None:                   # GQA valid-object counts
             out["imageObjectsNum"] = n_obj
-        if compute_dtype == "bfloat16":
-            import ml_dtypes
-            images = images.astype(ml_dtypes.bfloat16)
-        out["images"] = images
+        if load_images:
+            images = image_loader.load_batch(id_batch)
+            if compute_dtype == "bfloat16":
+                import ml_dtypes
+                images = images.astype(ml_dtypes.bfloat16)
+            out["images"] = images
     elif "images" in batch:
         out["images"] = np.asarray(batch["images"])[rows]
         if "imageObjectsNum" in batch:

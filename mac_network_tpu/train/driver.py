@@ -105,7 +105,7 @@ class Runner:
     def __init__(self, cfg: Config, model, train_step, eval_step,
                  eval_step_att, answer_dict, device_put=None,
                  train_multistep=None, device_put_stacked=None,
-                 image_put=None, image_put_stacked=None):
+                 image_put=None, image_put_stacked=None, mesh=None):
         self.cfg = cfg
         self.model = model
         self.train_step = train_step
@@ -122,6 +122,7 @@ class Runner:
         # gathered features onto the mesh's data axis
         self.image_put = image_put
         self.image_put_stacked = image_put_stacked
+        self.mesh = mesh               # sharded HBM cache + batch placement
         self._hbm_caches: Dict = {}
 
     # --------------------------------------------------------------- epoch
@@ -180,7 +181,7 @@ class Runner:
             # per-batch on-device gather; loader.py HBMFeatureCache)
             from mac_network_tpu.data.loader import resolve_hbm_cache
             hbm_cache = resolve_hbm_cache(self._hbm_caches, loader, cfg,
-                                          process_count=pc)
+                                          process_count=pc, mesh=self.mesh)
             prefetch = PrefetchIterator(batches, loader, cfg, train,
                                         depth=cfg.prefetchDepth,
                                         process_index=pi, process_count=pc,

@@ -60,6 +60,7 @@ SLOW_TESTS = frozenset({
     "test_gqa.py::test_gqa_convergence_bar",
     "test_gqa.py::test_gqa_serve_roundtrip",
     "test_multihost.py::test_two_process_distributed_matches_single",
+    "test_multihost.py::test_two_process_sharded_hbm_gather_parity",
     "test_multistep.py::test_cli_with_steps_per_dispatch",
     "test_multistep.py::test_multistep_composes_with_fused_train",
     "test_multistep.py::test_multistep_matches_sequential",

@@ -205,6 +205,52 @@ def test_clevr_reader_caches(tmp_path):
     assert p2.questionDict.sym2id == p.questionDict.sym2id
 
 
+def test_cache_writes_are_atomic(tmp_path, monkeypatch):
+    """Multi-host preprocessing race (every process runs the Preprocesser
+    against the same shared dataset dir): cache files must land via
+    temp + os.rename with the instances JSON — the existence gate readers
+    check — renamed LAST, so exists(instances) implies complete dict
+    pickles, and a writer crash mid-writeFiles leaves a rebuildable (not
+    torn) cache."""
+    from mac_network_tpu.data.synthetic import write_synthetic_dataset
+    write_synthetic_dataset(str(tmp_path), n_train=12, n_val=6, n_test=6,
+                            dims=(4, 3, 3), h5=False)
+    cfg = _make_cfg(tmp_path)
+    cfg.dataPath = os.path.join(str(tmp_path), "CLEVR_v1", "data")
+
+    renames = []
+    real_rename = os.rename
+
+    def recording_rename(src, dst):
+        renames.append(dst)
+        real_rename(src, dst)
+
+    import mac_network_tpu.data.preprocess as pp_mod
+    monkeypatch.setattr(pp_mod.os, "rename", recording_rename)
+    Preprocesser(cfg).readTier("train", train=True)
+    gate = cfg.instancesFile("train")
+    assert gate in renames and renames[-1] == gate
+    assert cfg.questionDictFile() in renames[:-1]
+
+    # a crash before the gate rename leaves exists(gate) False -> the next
+    # reader REBUILDS instead of loading a torn cache
+    for f in renames:
+        os.remove(f)
+
+    def crashing_rename(src, dst):
+        if dst == gate:
+            raise RuntimeError("killed mid-write")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(pp_mod.os, "rename", crashing_rename)
+    with pytest.raises(RuntimeError):
+        Preprocesser(cfg).readTier("train", train=True)
+    assert not os.path.exists(gate)
+    monkeypatch.setattr(pp_mod.os, "rename", real_rename)
+    inst = Preprocesser(cfg).readTier("train", train=True)
+    assert inst["instances"]
+
+
 def test_nlvr_reader(tmp_path):
     cfg = Config()
     cfg.dataset = "NLVR"

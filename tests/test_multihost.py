@@ -158,6 +158,50 @@ def test_two_process_distributed_matches_single():
     np.testing.assert_allclose(l0, baseline, rtol=1e-5)
 
 
+def test_two_process_sharded_hbm_gather_parity(tmp_path):
+    """TRUE 2-process coverage for the sharded HBM feature cache (round-4
+    VERDICT next #8): two jax.distributed processes build the
+    P('data')-sharded table over the global 8-device mesh — each
+    uploading only its addressable row shards — gather a global batch
+    from their LOCAL imageIds, and verify every addressable output shard
+    against the streaming h5 loader."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from mac_network_tpu.data.synthetic import write_synthetic_dataset
+
+    root = tmp_path / "data"
+    # dims match tests.test_hbm_cache.make_cfg's imageDims (C, H, W)
+    write_synthetic_dataset(str(root), n_train=40, n_val=8, n_test=8,
+                            dims=(16, 5, 5))
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "hbm_sharded_worker.py")
+    outs = [str(tmp_path / f"p{i}.json") for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), outs[i],
+             str(root)],
+            cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        logs.append(out.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log}"
+    for path in outs:
+        with open(path) as f:
+            assert json.load(f)["checked_shards"] == 4
+
+
 def test_maybe_initialize_noop_when_unconfigured(monkeypatch):
     for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
                 "JAX_PROCESS_ID"):
