@@ -559,29 +559,96 @@ def main():
     except Exception as e:
         print(f"# gqa bench skipped: {type(e).__name__}: {e}", flush=True)
 
-    # ---------------- end-to-end epoch (round-3 VERDICT missing #5): one
-    # synthetic epoch through the REAL input path — h5 features on disk ->
-    # ImageLoader -> PrefetchIterator -> device_put -> jitted train step —
-    # against the device-only step rate at the same config/shapes, i.e.
-    # the input-pipeline efficiency (the reference IO-threads its hot loop
-    # for exactly this reason, main.py:374-444)
+    # ---------------- end-to-end epoch (round-3 VERDICT missing #5; A/B'd
+    # per round-4 next #3): synthetic 64-batch epochs through the REAL
+    # input path — h5 features on disk -> ImageLoader -> PrefetchIterator
+    # -> device_put -> jitted train step — measured BOTH ways: streaming
+    # (--hbmData off, per-batch feature H2D like the reference's threaded
+    # feed_dict loop, main.py:374-444) and cached (--hbmData on, one table
+    # upload then on-device gathers).  pipeline_efficiency = cached epoch
+    # rate / device-only step rate at identical config+shapes; the on/off
+    # delta is the HBM feature cache's measured win.  Epoch 1 pays the
+    # compiles; each mode times two steady-state epochs.
+    def _e2e_ab(cfg_t, data_t, state_t, runner_t, n_ex):
+        import contextlib
+        import io
+        import time as _time
+
+        rng_t = jax.random.key(0)
+        out = {}
+        quiet = io.StringIO()
+
+        def epochs(first, last, st):
+            t0 = _time.time()
+            for ep in range(first, last + 1):
+                st, _ = runner_t.run_epoch(
+                    st, data_t["main"]["train"], train=True, epoch=ep,
+                    rng=rng_t, get_preds=False)
+            return st, (_time.time() - t0) / (last - first + 1)
+
+        with contextlib.redirect_stdout(quiet):
+            runner_t.cfg.hbmData = "off"
+            st, _ = epochs(1, 1, state_t)          # compile epoch
+            st, dt_stream = epochs(2, 3, st)
+            runner_t.cfg.hbmData = "on"
+            t0 = _time.time()
+            st, _ = epochs(4, 4, st)               # pays the table upload
+            build_epoch_s = _time.time() - t0
+            st, dt_cached = epochs(5, 6, st)
+        out["ex_s"] = round(n_ex / dt_cached, 1)
+        out["stream_ex_s"] = round(n_ex / dt_stream, 1)
+        out["hbm_build_epoch_s"] = round(build_epoch_s, 2)
+
+        # device-only rate at the SAME config and data shapes: one batch
+        # from the same pipeline, kept device-resident
+        from mac_network_tpu.data.loader import ImageLoader, get_batches
+        tier = data_t["main"]["train"]
+        bucket = max(tier["data"], key=lambda b: len(b["instances"]))
+        one = get_batches(bucket, cfg_t.batchSize)[0]
+        ldr = ImageLoader(tier["images"], cfg_t)
+        ldr.open()
+        try:
+            imgs_t = ldr.load_batch(one)
+            db = {"questions": jnp.asarray(one["questions"]),
+                  "questionLengths": jnp.asarray(one["questionLengths"]),
+                  "images": jnp.asarray(imgs_t),
+                  "answers": jnp.asarray(one["answers"]),
+                  "mask": jnp.ones((len(one["answers"]),), jnp.float32)}
+            if cfg_t.dataset == "GQA":
+                db["imageObjectsNum"] = jnp.asarray(
+                    ldr.objects_num(one), jnp.int32)
+        finally:
+            ldr.close()
+        st_d = st
+
+        def dstep():
+            nonlocal st_d
+            st_d, m = runner_t.train_step(st_d, db, float(cfg_t.lr), rng_t)
+            return m["loss"]
+
+        dt_dev = _timed(dstep, fence, 10, trials=3)
+        out["device_ex_s"] = round(len(one["answers"]) / dt_dev, 1)
+        out["pipeline_efficiency"] = round(
+            out["ex_s"] / out["device_ex_s"], 4)
+        out["pipeline_efficiency_stream"] = round(
+            out["stream_ex_s"] / out["device_ex_s"], 4)
+        return out
+
     e2e = {}
     try:
         if jax.default_backend() == "cpu":
             raise RuntimeError("skipped on cpu")
-        import contextlib
         import dataclasses as _dc
-        import io
         import shutil
         import tempfile
-        import time as _time
         from mac_network_tpu.config import load_dataset_config
         from mac_network_tpu.data import Preprocesser
         from mac_network_tpu.data.synthetic import write_synthetic_dataset
         from main import build_state_and_runner
 
         root = tempfile.mkdtemp(prefix="bench_e2e_")
-        n_epoch = 2048                       # 8 batches of 256, ~820MB h5
+        n_epoch = 64 * train_batch           # 64 batches (8192 images,
+        #                                      ~6.6GB h5; bf16 table 3.3GB)
         write_synthetic_dataset(root, n_train=n_epoch, n_val=32, n_test=32,
                                 dims=(cfg.imageDims[2], cfg.imageDims[0],
                                       cfg.imageDims[1]))
@@ -593,77 +660,87 @@ def main():
         data_e, emb_e, adict_e = pp.preprocessData()
         _, state_e, runner_e, _ = build_state_and_runner(cfg_e, emb_e,
                                                          adict_e)
-        rng_e = jax.random.key(0)
-        quiet = io.StringIO()
-        with contextlib.redirect_stdout(quiet):
-            # epoch 1 pays the compiles; epoch 2 is the measurement
-            state_e, _ = runner_e.run_epoch(
-                state_e, data_e["main"]["train"], train=True, epoch=1,
-                rng=rng_e, get_preds=False)
-            t0 = _time.time()
-            state_e, _ = runner_e.run_epoch(
-                state_e, data_e["main"]["train"], train=True, epoch=2,
-                rng=rng_e, get_preds=False)
-            dt_e2e = _time.time() - t0
-        e2e["ex_s"] = round(n_epoch / dt_e2e, 1)
-
-        # device-only rate at the SAME config and data shapes: one batch
-        # from the same pipeline, kept device-resident
-        from mac_network_tpu.data.loader import ImageLoader, get_batches
-        tier = data_e["main"]["train"]
-        bucket = max(tier["data"], key=lambda b: len(b["instances"]))
-        one = get_batches(bucket, cfg_e.batchSize)[0]
-        ldr = ImageLoader(tier["images"], cfg_e)
-        ldr.open()
-        try:
-            imgs_e = ldr.load_batch(one)
-        finally:
-            ldr.close()
-        db = {"questions": jnp.asarray(one["questions"]),
-              "questionLengths": jnp.asarray(one["questionLengths"]),
-              "images": jnp.asarray(imgs_e),
-              "answers": jnp.asarray(one["answers"]),
-              "mask": jnp.ones((len(one["answers"]),), jnp.float32)}
-        st_e = state_e
-
-        def estep():
-            nonlocal st_e
-            st_e, m = runner_e.train_step(st_e, db, float(cfg_e.lr), rng_e)
-            return m["loss"]
-
-        dt_dev = _timed(estep, fence, 10, trials=3)
-        e2e["device_ex_s"] = round(len(one["answers"]) / dt_dev, 1)
-        e2e["pipeline_efficiency"] = round(
-            e2e["ex_s"] / e2e["device_ex_s"], 4)
+        e2e = _e2e_ab(cfg_e, data_e, state_e, runner_e, n_epoch)
         shutil.rmtree(root, ignore_errors=True)
     except Exception as e:
         print(f"# e2e epoch bench skipped: {type(e).__name__}: {e}",
               flush=True)
 
+    # same A/B at the GQA operating point ([1, 100, 2048] object features,
+    # one row per question image — the heaviest per-example input bytes)
+    e2e_gqa = {}
+    try:
+        if jax.default_backend() == "cpu":
+            raise RuntimeError("skipped on cpu")
+        import dataclasses as _dc
+        import shutil
+        import tempfile
+        from mac_network_tpu.config import load_dataset_config
+        from mac_network_tpu.data import Preprocesser
+        from mac_network_tpu.data.synthetic import write_synthetic_gqa
+        from main import build_state_and_runner
+
+        root_g = tempfile.mkdtemp(prefix="bench_e2e_gqa_")
+        gqa_eB = 128
+        n_gqa = 64 * gqa_eB                  # 8192 images, ~6.7GB h5
+        cfg_ge = _dc.replace(cfg, dataset="GQA", dataBasedir=root_g,
+                             expName="bench_e2e_gqa", wrdEmbRandom=True,
+                             wrdEmbUniform=True, batchSize=gqa_eB)
+        load_dataset_config(cfg_ge)
+        write_synthetic_gqa(root_g, n_train=n_gqa, n_val=32, n_test=32,
+                            objects_num=cfg_ge.gqaObjectsNum,
+                            object_dim=cfg_ge.gqaObjectDim)
+        pp_g = Preprocesser(cfg_ge)
+        data_ge, emb_ge, adict_ge = pp_g.preprocessData()
+        _, state_ge, runner_ge, _ = build_state_and_runner(cfg_ge, emb_ge,
+                                                           adict_ge)
+        e2e_gqa = _e2e_ab(cfg_ge, data_ge, state_ge, runner_ge, n_gqa)
+        shutil.rmtree(root_g, ignore_errors=True)
+    except Exception as e:
+        print(f"# gqa e2e epoch bench skipped: {type(e).__name__}: {e}",
+              flush=True)
+
     # ---------------- L1 feature extractor (offline ResNet-101 stage-3
     # trunk, the reference's PyTorch/CUDA extract_features.py rebuilt as
-    # Flax/XLA): jitted forward at the extractor's real operating point
-    # (224x224 f32, CHW h5-parity transpose included).  Random-init
-    # weights — throughput only; conversion parity is tested separately
-    # (tests/test_resnet.py).
+    # Flax/XLA): bf16 convs (extract_features.py --dtype bfloat16) at the
+    # extractor's batch-sweep optimum B=256, CHW h5-parity transpose
+    # included.  Device rate is fenced by a 4-byte on-device reduce; the
+    # full-output D2H is reported separately as d2h_mb_s because THIS
+    # environment's tunneled link runs at ~20-25 MB/s (measured), which
+    # would report the tunnel, not the TPU (round-4's 306.6 imgs/s did
+    # exactly that — the extractor pipelines compute over the pull, so
+    # on directly-attached hardware the device rate is the wall rate).
+    # Random-init weights — throughput only; conversion parity is tested
+    # separately (tests/test_resnet.py).
     resnet = {}
     try:
         if jax.default_backend() == "cpu":
             raise RuntimeError("skipped on cpu")
+        import time as _t
         from mac_network_tpu.models.resnet import ResNetTrunk
-        trunk = ResNetTrunk(stage=3)
-        rB = 64
+        trunk = ResNetTrunk(stage=3, dtype=jnp.bfloat16)
+        rB = 256
         x_r = jnp.asarray(np.random.RandomState(3)
                           .randn(rB, 224, 224, 3).astype(np.float32))
         vars_r = trunk.init(jax.random.key(0), x_r[:1])
         rfwd = jax.jit(lambda v, x: trunk.apply(v, x).transpose(0, 3, 1, 2))
-        r_dt = _timed(lambda: rfwd(vars_r, x_r), fence, 10, trials=3)
+        rsum = jax.jit(jnp.sum)
+        scalar_fence = lambda y: np.asarray(rsum(y))
+        r_dt = _timed(lambda: rfwd(vars_r, x_r), scalar_fence, 10, trials=3)
         resnet["imgs_s"] = round(rB / r_dt, 1)
         rcost = _cost_of(rfwd, vars_r, x_r)
         if "flops" in rcost:
             resnet["flops_per_img"] = round(float(rcost["flops"]) / rB, 0)
             resnet["mfu_vs_bf16_peak"] = round(
                 (float(rcost["flops"]) / r_dt) / V5E_PEAK_BF16, 4)
+        y_r = rfwd(vars_r, x_r)
+        scalar_fence(y_r)
+        t0 = _t.perf_counter()
+        np.asarray(y_r)
+        d2h_s = _t.perf_counter() - t0
+        resnet["d2h_mb_s"] = round(y_r.nbytes / d2h_s / 1e6, 1)
+        resnet["wall_imgs_s_this_link"] = round(
+            rB / max(r_dt, d2h_s), 1)
     except Exception as e:
         print(f"# resnet bench skipped: {type(e).__name__}: {e}", flush=True)
 
@@ -698,6 +775,7 @@ def main():
         "train_tied": tied or None,
         "gqa": gqa or None,
         "train_e2e": e2e or None,
+        "train_e2e_gqa": e2e_gqa or None,
         "resnet_extractor": resnet or None,
     }
     moved = regression_tripwire(result)

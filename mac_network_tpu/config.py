@@ -312,10 +312,16 @@ class Config:
                                     # dropout uses its own RNG stream
                                     # (same keep-probs, different sample —
                                     # the --prngImpl stance, PARITY.md).
-                                    # Composes with the DP mesh (equal
-                                    # results; tested) but the kernel does
-                                    # not partition — use the XLA step for
-                                    # real multi-chip throughput
+                                    # Partitions over the mesh data axis
+                                    # via shard_map (no KB all-gather;
+                                    # asserted on compiled HLO)
+    fusedTrainProbe: bool = True    # --fusedTrain on a TPU: time one
+                                    # optimizer step through the fused and
+                                    # XLA engines at the run's batch shape
+                                    # and use the winner (one-shot, cached
+                                    # under ~/.cache/mac_tpu_xla — at some
+                                    # operating points, e.g. GQA 100x2048,
+                                    # XLA wins).  false = always fused
     stepsPerDispatch: int = 1       # K optimizer steps per device dispatch
                                     # (lax.scan over K staged batches) —
                                     # amortizes per-step host dispatch

@@ -62,21 +62,6 @@ def build_state_and_runner(cfg: Config, embeddings, answer_dict):
                  **{k: v for k, v in variables.items() if k != "params"}}
     state = create_train_state(cfg, variables, tx)
 
-    train_step = make_train_step(model, cfg, tx)
-    if cfg.fusedTrain:
-        from mac_network_tpu.ops.pallas import (
-            FusedTrainEngine, supports_fused_train)
-        if supports_fused_train(cfg):
-            # the engine exposes the same .apply contract as the model, so
-            # the loss/optimizer plumbing in steps.py is reused verbatim;
-            # under a multi-device mesh the fwd/bwd kernels shard_map over
-            # the data axis (each device runs its batch shard)
-            train_step = make_train_step(
-                FusedTrainEngine(cfg, embeddings, mesh=mesh), cfg, tx)
-        else:
-            print("main: config outside the fused-train envelope "
-                  "(see ops/pallas/mac_train.py); using the XLA train step")
-
     # multi-host: each process feeds its local rows; globals are assembled
     # via make_array_from_process_local_data (parallel/multihost.py)
     _, pc = process_info()
@@ -84,6 +69,36 @@ def build_state_and_runner(cfg: Config, embeddings, answer_dict):
         device_put = lambda b: assemble_global(b, mesh, cfg.batchSize)
     else:
         device_put = lambda b: shard_batch(b, mesh)
+
+    step_model = model
+    if cfg.fusedTrain:
+        from mac_network_tpu.ops.pallas import (
+            FusedTrainEngine, supports_fused_train)
+        if supports_fused_train(cfg):
+            # the engine exposes the same .apply contract as the model, so
+            # the loss/optimizer plumbing in steps.py is reused verbatim;
+            # under a multi-device mesh the fwd/bwd kernels shard_map over
+            # the data axis (each device runs its batch shard).  On a real
+            # single-host TPU the one-shot probe picks whichever engine is
+            # faster at this batch shape (train/engine_probe.py — at some
+            # operating points, e.g. GQA 100x2048, XLA wins)
+            from mac_network_tpu.train.engine_probe import (
+                make_step_timer, resolve_train_engine)
+            fused_factory = lambda: FusedTrainEngine(cfg, embeddings,
+                                                     mesh=mesh)
+            timer = None
+            if (jax.default_backend() == "tpu" and pc == 1
+                    and cfg.fusedTrainProbe):
+                timer = make_step_timer(
+                    cfg, tx, variables, device_put,
+                    jax.random.key(cfg.seed + 2))
+            step_model = resolve_train_engine(
+                cfg, model, fused_factory, timer=timer,
+                device_kind=jax.devices()[0].device_kind)
+        else:
+            print("main: config outside the fused-train envelope "
+                  "(see ops/pallas/mac_train.py); using the XLA train step")
+    train_step = make_train_step(step_model, cfg, tx)
     if cfg.usePallas:
         from mac_network_tpu.ops.pallas import (
             FusedMACEngine, supports_fused_config)
@@ -112,13 +127,7 @@ def build_state_and_runner(cfg: Config, embeddings, answer_dict):
         else:
             from mac_network_tpu.train.steps import make_train_multistep
             from mac_network_tpu.parallel import shard_batch_stacked
-            step_model = model
-            if cfg.fusedTrain:
-                from mac_network_tpu.ops.pallas import (
-                    FusedTrainEngine, supports_fused_train)
-                if supports_fused_train(cfg):
-                    step_model = FusedTrainEngine(cfg, embeddings,
-                                                  mesh=mesh)
+            # step_model already reflects the fused-vs-XLA probe decision
             train_multistep = make_train_multistep(step_model, cfg, tx)
             device_put_stacked = lambda b: shard_batch_stacked(b, mesh)
 
@@ -136,7 +145,7 @@ def build_state_and_runner(cfg: Config, embeddings, answer_dict):
                     train_multistep=train_multistep,
                     device_put_stacked=device_put_stacked,
                     image_put=image_put,
-                    image_put_stacked=image_put_stacked)
+                    image_put_stacked=image_put_stacked, mesh=mesh)
     return model, state, runner, mesh
 
 

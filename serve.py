@@ -72,9 +72,29 @@ def resolve_engine(cfg, backend: str, timer=None, device_kind: str = "",
     the cache keys the two modes separately.  Without a timer (CPU,
     --no-servingProbe, unsupported config) the v5e-measured
     SMALL_BATCH_CROSSOVER heuristic applies."""
+    def _warn_if_cached_loser(forced: str):
+        # a FORCED engine is honored, but if a previous auto-probe already
+        # measured this exact (device kind, shape) and the other engine
+        # won, say so loudly — e.g. forced --usePallas at GQA's 100x2048
+        # operating point costs ~13% qps (BENCH_r04 gqa) with no signal
+        try:
+            with open(cache_path or _engine_cache_path()) as f:
+                probed = json.load(f).get(
+                    _probe_key(cfg, device_kind, dispatch_depth))
+        except (OSError, ValueError):
+            probed = None
+        if probed and probed.get("engine") not in (None, forced):
+            print(f"serve: WARNING — forced engine '{forced}' but the "
+                  f"probe measured {probed['engine']} faster here "
+                  f"(xla {probed.get('xla_s', 0) * 1e3:.2f} ms vs pallas "
+                  f"{probed.get('pallas_s', 0) * 1e3:.2f} ms); consider "
+                  f"--servingEngine auto", file=sys.stderr)
+
     if cfg.usePallas:
+        _warn_if_cached_loser("pallas")
         return "pallas"
     if cfg.servingEngine != "auto":
+        _warn_if_cached_loser(cfg.servingEngine)
         return cfg.servingEngine
     if backend != "tpu":
         return "xla"                   # interpret-mode pallas never wins
@@ -353,7 +373,8 @@ def serve(cfg, input_path: str, output_path: str, tier: str = "val",
     # training; data/loader.py HBMFeatureCache)
     from mac_network_tpu.data.loader import resolve_hbm_cache
     hbm_cache = resolve_hbm_cache({}, loader, cfg,
-                                  process_count=jax.process_count())
+                                  process_count=jax.process_count(),
+                                  mesh=mesh)
     try:
         t0 = time.time()
         n = len(requests)
