@@ -142,21 +142,67 @@ def _keep_mask(idx, salt, extra: int, keep: float, dtype):
     return _bits_mask(_mix(idx, salt, extra), 21, keep, dtype)
 
 
-def _keep_mask_pair(idx, salt, extra: int, keep: float, dtype):
-    """TWO independent dropout masks from ONE mix (bit fields 21..31 and
-    10..20).  The mask draws are the kernels' dominant VPU cost — they run
-    inside the time loop and are re-drawn during the backward's
-    recompute — so the fresh-KB chain's two same-shaped masks share a
-    single hash."""
+def _keep_bit_dyn(x, shift, keep: float):
+    """Boolean keep decision from a TRACED shift selecting one of THREE
+    disjoint 10-bit fields (bits 0-9 / 10-19 / 20-29) of an already-mixed
+    word — the decode half of the windowed draw (_window_keep): one
+    murmur mix serves three consecutive steps' masks, tripling the RNG
+    amortization.  Returns the PREDICATE, not a scaled mask: the 1/keep
+    scale is folded into wr on the host (_prep_weights) so the apply is a
+    single select instead of mask-materialize + multiply.  The field is
+    compared IN PLACE — (x & (0x3FF << s)) < (thresh << s) — so the
+    decode is one broadcast AND + one compare, never a full-tensor shift;
+    bits 30-31 stay unused, keeping every masked field non-negative under
+    the signed compare.  10 uniform bits quantize the keep threshold to
+    1/1024 — still ample for dropout."""
+    field = jax.lax.shift_left(jnp.int32(0x3FF), shift)
+    thresh = jax.lax.shift_left(
+        jnp.int32(math.ceil(keep * (1 << 10))), shift)
+    return (x & field) < thresh
+
+
+def _window_keep(mix_ref, idx3, seed, t, store_pred, keep: float):
+    """Tied-mode e-dropout keep bit, windowed x3: one _mix per THREE
+    steps held in a VMEM scratch (``mix_ref``), each step decoding its
+    own disjoint 10-bit field.  ``store_pred`` is True on iterations that
+    ENTER a new window (t % 3 == 0 walking forward; t % 3 == 2 or the
+    first iteration walking backward), so the forward and backward
+    kernels replay identical masks in opposite directions.  Masks stay
+    keyed by GLOBAL element index (idx3) + per-window salt, so they
+    remain invariant to the grid tiling."""
+    w, j = t // 3, t % 3
+    salt_w = seed + w * jnp.int32(9973)
+
+    @pl.when(store_pred)
+    def _():
+        mix_ref[...] = _mix(idx3, salt_w, 2)
+
+    return _keep_bit_dyn(mix_ref[...], j * jnp.int32(10), keep)
+
+
+def _keep_bit_pair(idx, salt, extra: int, keep: float):
+    """TWO independent dropout keep PREDICATES from ONE mix (bit fields
+    0..10 and 11..21, both sign-free so the field compares in place:
+    (x & (0x7FF << s)) < (thresh << s), one AND + one compare, no shift
+    or select on the [Bt, Sp, d] tensor).  The mask draws run inside the
+    time loop and are re-drawn during the backward's recompute — so the
+    fresh-KB chain's two same-shaped masks share a single hash, and the
+    1/keep inverted-dropout scales live in the host-folded wpx / wr
+    weights (_prep_weights) rather than in a materialized mask."""
     x = _mix(idx, salt, extra)
-    return (_bits_mask(x, 21, keep, dtype), _bits_mask(x, 10, keep, dtype))
+    thresh = math.ceil(keep * (1 << 11))
+
+    def bit(s):
+        return (x & jnp.int32(0x7FF << s)) < jnp.int32(thresh << s)
+
+    return bit(0), bit(11)
 
 
 # ------------------------------------------------------------------ kernels
 
 def _fwd_chain(t, memory, kb, kbp, kbw1, ctrl, mem_mask, salt, idx3, idx2,
                wy, by, w1a, w2, b2, wr128, br, pad_mask,
-               relu_kind, read_keep, dtype, kb_proj=None):
+               relu_kind, read_keep, dtype, kb_proj=None, e_keep_pre=None):
     """Recompute (or compute) one step's read chain from the step-entry
     memory.  Returns every intermediate the backward needs.  ``salt`` is
     tile-independent (per-step only); ``idx3``/``idx2`` are the
@@ -173,14 +219,16 @@ def _fwd_chain(t, memory, kb, kbp, kbw1, ctrl, mem_mask, salt, idx3, idx2,
     step-tied mask.
     Reference: mac_cell.py:209-277 with the train-time dropouts."""
     Bt, Sp, d = kb.shape
-    kb_mask = e_mask = None
-    if kb_proj is not None:
+    kb_keep = None
+    e_keep = e_keep_pre                         # tied mode: windowed draw,
+    if kb_proj is not None:                     # 1/keep pre-folded into wr
         wpx, bpx, w1b, b1 = kb_proj
         if read_keep < 1.0:
-            # one mix feeds BOTH same-shaped masks of the fresh-KB chain
-            kb_mask, e_mask = _keep_mask_pair(idx3, salt, 2, read_keep,
-                                              dtype)
-            xx = kb * kb_mask
+            # one mix feeds BOTH same-shaped masks of the fresh-KB chain;
+            # the 1/keep scales are host-folded into wpx / wr, so each
+            # apply is a single select
+            kb_keep, e_keep = _keep_bit_pair(idx3, salt, 2, read_keep)
+            xx = jnp.where(kb_keep, kb, jnp.asarray(0.0, dtype))
         else:
             xx = kb
         kbp_f = (jnp.dot(xx.reshape(Bt * Sp, d), wpx,
@@ -213,10 +261,8 @@ def _fwd_chain(t, memory, kb, kbp, kbw1, ctrl, mem_mask, salt, idx3, idx2,
           .astype(dtype) + b2)
     e_pre = h2.reshape(Bt, Sp, d) * ctrl[:, None, :]
     e = _act(e_pre, relu_kind)
-    if read_keep < 1.0:
-        if e_mask is None:                      # tied mode: single draw
-            e_mask = _keep_mask(idx3, salt, 2, read_keep, dtype)
-        e_drop = e * e_mask
+    if read_keep < 1.0:              # single select, 1/keep scale is in wr
+        e_drop = jnp.where(e_keep, e, jnp.asarray(0.0, dtype))
     else:
         e_drop = e
     r = jnp.dot(e_drop.reshape(Bt * Sp, d), wr128,
@@ -230,9 +276,9 @@ def _fwd_chain(t, memory, kb, kbp, kbw1, ctrl, mem_mask, salt, idx3, idx2,
     attd = att3[:, :, :1].astype(dtype)                 # [Bt, Sp, 1]
     info = jnp.sum(attd * kb, axis=1).astype(dtype)     # [Bt, d]
     return dict(m_in=m_in, y_mask=y_mask, y0=y0, y=y, inter2=inter2,
-                h=h, a=a, h2=h2, e_pre=e_pre, e=e, e_mask=e_mask,
-                e_drop=e_drop, attd=attd, info=info,
-                xx=xx, kbp=kbp, kb_mask=kb_mask)
+                h=h, a=a, h2=h2, e_pre=e_pre, e=e,
+                e_keep=e_keep, e_drop=e_drop, attd=attd, info=info,
+                xx=xx, kbp=kbp, kb_keep=kb_keep)
 
 
 def _act_grad(pre, out, relu_kind, dtype):
@@ -254,6 +300,8 @@ def _act_grad(pre, out, relu_kind, dtype):
 
 def _build_train_fwd_kernel(T, relu_kind, S_real, use_gate, read_keep,
                             kb_fresh, with_kb_mask=False):
+    windowed = read_keep < 1.0 and not kb_fresh
+
     def kernel(*refs):
         it = iter(refs)
         seed_ref = next(it)                    # SMEM [1]
@@ -275,6 +323,7 @@ def _build_train_fwd_kernel(T, relu_kind, S_real, use_gate, read_keep,
         wr_ref, br_ref, w3_ref, b3_ref = (next(it) for _ in range(4))
         out_ref = next(it)                     # [Bt, d] final memory
         hist_ref = next(it)                    # [T, Bt, d] step-entry mems
+        mix_ref = next(it) if windowed else None  # [Bt, Sp, d] i32 scratch
 
         Bt, Sp, d = kb_ref.shape
         dtype = kb_ref.dtype
@@ -312,10 +361,14 @@ def _build_train_fwd_kernel(T, relu_kind, S_real, use_gate, read_keep,
         def step(t, memory):
             hist_ref[pl.ds(t, 1)] = memory[None]
             salt = seed_ref[0] + t * jnp.int32(9973)
+            e_keep_pre = None
+            if windowed:                       # one mix per 3 steps
+                e_keep_pre = _window_keep(mix_ref, idx3, seed_ref[0], t,
+                                          t % 3 == 0, read_keep)
             f = _fwd_chain(t, memory, kb, kbp, kbw1, ctrl_ref[t],
                            mem_mask, salt, idx3, idx2, wy, by, w1a, w2, b2,
                            wr128, br, pad_mask, relu_kind, read_keep,
-                           dtype, kb_proj=kb_proj)
+                           dtype, kb_proj=kb_proj, e_keep_pre=e_keep_pre)
             parts = jnp.concatenate([memory, f["info"]], axis=-1)
             new_mem = jnp.dot(parts, w3,
                               preferred_element_type=jnp.float32
@@ -332,6 +385,8 @@ def _build_train_fwd_kernel(T, relu_kind, S_real, use_gate, read_keep,
 
 def _build_train_bwd_kernel(T, relu_kind, S_real, use_gate, read_keep,
                             kb_fresh, with_kb_mask=False):
+    windowed = read_keep < 1.0 and not kb_fresh
+
     def kernel(*refs):
         it = iter(refs)
         seed_ref = next(it)
@@ -369,6 +424,7 @@ def _build_train_bwd_kernel(T, relu_kind, S_real, use_gate, read_keep,
             gwpx_ref, gbpx_ref, gw1b_ref, gb1_ref = (
                 next(it) for _ in range(4))
         gwr_ref, gbr_ref, gw3_ref, gb3_ref = (next(it) for _ in range(4))
+        mix_ref = next(it) if windowed else None  # [Bt, Sp, d] i32 scratch
 
         Bt, Sp, d = kb_ref.shape
         dtype = kb_ref.dtype
@@ -431,10 +487,17 @@ def _build_train_bwd_kernel(T, relu_kind, S_real, use_gate, read_keep,
             memory = hist_ref[t]
             ctrl = ctrl_ref[t]
             salt = seed_ref[0] + t * jnp.int32(9973)
+            e_keep_pre = None
+            if windowed:                       # replay the fwd's windowed
+                # draws walking BACKWARD: refresh the mix on entering a
+                # new window (t % 3 == 2) and on the first iteration
+                e_keep_pre = _window_keep(mix_ref, idx3, seed_ref[0], t,
+                                          (t % 3 == 2) | (k == 0),
+                                          read_keep)
             f = _fwd_chain(t, memory, kb, kbp, kbw1, ctrl, mem_mask, salt,
                            idx3, idx2, wy, by, w1a, w2, b2, wr128, br,
                            pad_mask, relu_kind, read_keep, dtype,
-                           kb_proj=kb_proj)
+                           kb_proj=kb_proj, e_keep_pre=e_keep_pre)
 
             # ---- write unit backward (reference: mac_cell.py:333-367)
             parts = jnp.concatenate([memory, f["info"]], axis=-1)
@@ -493,8 +556,9 @@ def _build_train_bwd_kernel(T, relu_kind, S_real, use_gate, read_keep,
             gwr_a = gwr_a + jnp.sum(
                 f["e_drop"].astype(f32) * g_r, axis=(0, 1),
                 keepdims=True).reshape(1, d)              # [1, d]
-            if read_keep < 1.0:
-                g_e = g_e_drop * f["e_mask"]
+            if read_keep < 1.0:                # select mirrors the fwd
+                g_e = jnp.where(f["e_keep"], g_e_drop,
+                                jnp.asarray(0.0, dtype))
             else:
                 g_e = g_e_drop
             # e = act(h2 * ctrl)
@@ -551,8 +615,8 @@ def _build_train_bwd_kernel(T, relu_kind, S_real, use_gate, read_keep,
                 g_xx = jax.lax.dot_general(
                     g_kbp_flat, wpx_v, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32).reshape(Bt, Sp, d)
-                if f["kb_mask"] is not None:
-                    gkb_a = gkb_a + g_xx * f["kb_mask"].astype(f32)
+                if f["kb_keep"] is not None:
+                    gkb_a = gkb_a + jnp.where(f["kb_keep"], g_xx, 0.0)
                 else:
                     gkb_a = gkb_a + g_xx
                 gpx_a = (gwpx_a, gbpx_a, gw1b_a, gb1_a)
@@ -620,12 +684,21 @@ def _build_train_bwd_kernel(T, relu_kind, S_real, use_gate, read_keep,
         gw1a_ref[...] += gw1a_a
         gw2_ref[...] += gw2_a
         gb2_ref[...] += gb2_a
+        if read_keep < 1.0:
+            # the fwd applied e-dropout as an UNSCALED select (1/keep
+            # lives in wr), so the accumulated e_drop . g_r is the grad
+            # w.r.t. wr/keep — chain through the host-side fold here
+            gwr_a = gwr_a * (1.0 / read_keep)
         gwr_ref[...] += gwr_a
         gbr_ref[...] += gbr_a
         gw3_ref[...] += gw3_a
         gb3_ref[...] += gb3_a
         if kb_fresh:
             gwpx_a, gbpx_a, gw1b_a, gb1_a = gpx_a
+            if read_keep < 1.0:
+                # same fold for the fresh-KB dropout: xx is an unscaled
+                # select and 1/keep lives in wpx
+                gwpx_a = gwpx_a * (1.0 / read_keep)
             gwpx_ref[...] += gwpx_a
             gbpx_ref[...] += gbpx_a
             gw1b_ref[...] += gw1b_a
@@ -697,12 +770,21 @@ def _specs(T, Bt, Sp, d):
     return tile, step_tile, full, smem
 
 
-def _prep_weights(weights, dtype, d, kb_fresh=False):
+def _prep_weights(weights, dtype, d, kb_fresh=False, read_scale=1.0):
+    """``read_scale``: under read dropout the kernels apply the masks as
+    UNSCALED selects (keep ? x : 0), with the 1/keep inverted-dropout
+    scale folded into the weight each dropped tensor feeds — wr for the
+    e-dropout, wpx for the fresh-KB dropout.  One [d]/[d,d] host multiply
+    replaces a [Bt, Sp, d] VPU pass per step per kernel (and the
+    backward un-folds the scale from the accumulated g_wr / g_wpx)."""
     keys = _W_KEYS + (_PX_KEYS if kb_fresh else ())
     w = {k: jnp.asarray(weights[k]).astype(dtype) for k in keys
          if k not in ("br",)}
-    w["wr128"] = jnp.broadcast_to(
-        jnp.asarray(weights["wr"]).astype(dtype)[:, None], (d, 128))
+    wr = jnp.asarray(weights["wr"]).astype(jnp.float32) * read_scale
+    w["wr128"] = jnp.broadcast_to(wr.astype(dtype)[:, None], (d, 128))
+    if kb_fresh and read_scale != 1.0:
+        w["wpx"] = (jnp.asarray(weights["wpx"]).astype(jnp.float32)
+                    * read_scale).astype(dtype)
     br = jnp.asarray(weights["br"]).reshape(1, 1).astype(jnp.float32)
     return w, br
 
@@ -733,7 +815,10 @@ def _fwd_impl(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
     B, S, d, Bt, Sp, interpret = _layout(statics, kb)
     dtype = kb.dtype
     kb_p = _pad_s(kb, Sp)
-    w, br = _prep_weights(weights, dtype, d, kb_fresh)
+    windowed = read_keep < 1.0 and not kb_fresh
+    read_scale = 1.0 / read_keep if read_keep < 1.0 else 1.0
+    w, br = _prep_weights(weights, dtype, d, kb_fresh,
+                          read_scale=read_scale)
     tile, step_tile, full, smem = _specs(T, Bt, Sp, d)
     with_kb_mask = kb_lengths is not None
     kernel = _build_train_fwd_kernel(T, relu, S_real, use_gate, read_keep,
@@ -776,6 +861,8 @@ def _fwd_impl(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
         grid=(B // Bt,),
         in_specs=in_specs,
         out_specs=[tile(Bt, d), step_tile(T, Bt, d)],
+        scratch_shapes=([pltpu.VMEM((Bt, Sp, d), jnp.int32)]
+                        if windowed else []),
         interpret=interpret,
         compiler_params=compiler_params,
         cost_estimate=pl.CostEstimate(
@@ -809,7 +896,10 @@ def _bwd_impl(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
     B, S, d, Bt, Sp, interpret = _layout(statics, kb, bwd=True)
     dtype = kb.dtype
     kb_p = _pad_s(kb, Sp)
-    w, br = _prep_weights(weights, dtype, d, kb_fresh)
+    windowed = read_keep < 1.0 and not kb_fresh
+    read_scale = 1.0 / read_keep if read_keep < 1.0 else 1.0
+    w, br = _prep_weights(weights, dtype, d, kb_fresh,
+                          read_scale=read_scale)
     tile, step_tile, full, smem = _specs(T, Bt, Sp, d)
     with_kb_mask = kb_lengths is not None
     kernel = _build_train_bwd_kernel(T, relu, S_real, use_gate, read_keep,
@@ -840,8 +930,8 @@ def _bwd_impl(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
     in_specs += [full(), smem(), full(), full()]
     inputs += [w["wr128"], br, w["w3"], w["b3"]]
     in_specs.append(full())
-    inputs.append(jnp.asarray(weights["wr"]).astype(jnp.float32
-                                                    ).reshape(1, d))
+    inputs.append((jnp.asarray(weights["wr"]).astype(jnp.float32)
+                   * read_scale).reshape(1, d))
     in_specs += [step_tile(T, Bt, d), tile(Bt, d)]
     inputs += [hist, g_final.astype(dtype)]
 
@@ -896,6 +986,8 @@ def _bwd_impl(statics, weights, kb, kbp, kbw1, controls, gates, mem0,
         grid=(B // Bt,),
         in_specs=in_specs,
         out_specs=out_specs,
+        scratch_shapes=([pltpu.VMEM((Bt, Sp, d), jnp.int32)]
+                        if windowed else []),
         interpret=interpret,
         compiler_params=compiler_params,
         cost_estimate=pl.CostEstimate(
